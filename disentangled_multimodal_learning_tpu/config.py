@@ -1,0 +1,270 @@
+"""Config system: YAML presets mirrored into typed CLI flags.
+
+Parity with the reference workflow (reference utils/yaml_config_hook.py:5-23 and
+main.py:436-442): a YAML file defines every experiment knob; each key is
+auto-registered as an argparse flag of the same name and type so the CLI can
+override the preset.  Supports the reference's ``defaults:`` include mechanism.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Any
+
+import yaml
+
+
+def yaml_config_hook(config_file: str) -> dict:
+    """Load a YAML config, resolving the nested ``defaults:`` include list.
+
+    Same observable behavior as reference utils/yaml_config_hook.py:5-23:
+    each entry of ``defaults`` is a single-item mapping ``{subdir: name}``
+    resolved to ``<dir-of-config>/<subdir>/<name>.yaml`` and merged (later
+    files win over earlier, the top-level file loses to its includes — the
+    reference uses dict.update with the include after the base load).
+    """
+    with open(config_file) as f:
+        cfg = yaml.safe_load(f)
+    for d in cfg.get("defaults", []):
+        config_dir, cf = dict(d).popitem()
+        cf = os.path.join(os.path.dirname(config_file), config_dir, cf + ".yaml")
+        with open(cf) as g:
+            cfg.update(yaml.safe_load(g))
+    cfg.pop("defaults", None)
+    return cfg
+
+
+def _flag_type(v: Any):
+    # bool flags: accept "true"/"false"/"1"/"0" on the CLI
+    if isinstance(v, bool):
+        return lambda s: str(s).lower() in ("1", "true", "yes", "y")
+    if v is None:
+        return str
+    if isinstance(v, (list, tuple)):
+        return lambda s: yaml.safe_load(s)
+    return type(v)
+
+
+def build_parser(yaml_config: dict, parser: argparse.ArgumentParser | None = None) -> argparse.ArgumentParser:
+    """Mirror every YAML key into an argparse flag (reference main.py:437-439)."""
+    parser = parser or argparse.ArgumentParser()
+    for k, v in yaml_config.items():
+        parser.add_argument(f"--{k}", default=v, type=_flag_type(v))
+    parser.add_argument("--debug", action="store_true", help="debug mode (disable wandb/logging sinks)")
+    return parser
+
+
+# ---------------------------------------------------------------------------
+# Typed experiment config.
+# ---------------------------------------------------------------------------
+
+_TASK_LABEL_COLUMN = {
+    # label layout (reference train_test.py:54):
+    # 0:IDH 1:1p19q 2:CDKN 3:His 4:Grade 5:Diag 6:His_2class 7:Subtype
+    # 8:survival_bin 9:censor 10:event 11:survival_time
+    "diag2021": 5,
+    "grade": 4,
+    "subtype": 7,
+    "survival": 8,
+}
+
+_TASK_LABEL_DIM = {"diag2021": 4, "survival": 4, "grade": 3, "subtype": 3}
+
+# Weighted CE class weights per task (reference train_test.py:27-29).
+TASK_CLASS_WEIGHTS = {
+    "diag2021": (1.0, 4.15, 2.93, 2.43),
+    "grade": (1.47, 1.51, 1.0),
+    "subtype": (1.0, 1.72, 2.43),
+}
+
+
+@dataclasses.dataclass
+class Config:
+    """Flat experiment config. Field names/defaults mirror the reference YAML
+    (reference config/config_mine_diag2021.yaml) so presets load unchanged."""
+
+    # dataset
+    fixdim: int = 2500
+    label_path: str = "./data"
+    dataDir: str = "./data/"
+    dataDir_pyramid: str = "./data/"
+    pyramid: int = 2
+    dataset: str = "TCGA"
+    checkpoints: str = "./checkpoints"
+    checkpoints_student: str = "#"
+    checkpoints_teacher: str = "#"
+
+    # distributed (reference uses nodes/gpus; here they size the data mesh axis)
+    nodes: int = 1
+    gpus: int = 1
+    visiable_device: str = "0"
+    nr: int = 0
+    dataparallel: int = 0
+    workers: int = 0
+
+    # fusion
+    fusion_type: str = "concat"
+    skip: int = 0
+    use_bilinear: int = 1
+
+    # omic dims (overwritten by the dataset like reference main.py:104-106)
+    input_size_omic: int = 431
+    input_size_omic_tumor: int = 59
+    input_size_omic_immune: int = 361
+
+    input_path_dim: int = 1024
+    path_gate: int = 1
+    omic_gate: int = 1
+    path_dim: int = 128
+    omic_dim: int = 128
+    path_scale: int = 1
+    omic_scale: int = 1
+    mmhid: int = 128
+    cut_fuse_grad: bool = False
+
+    # training
+    reload: bool = False
+    seed: int = 42
+    batch_size: int = 4
+    image_size: tuple = (224, 224)
+    start_epoch: int = 0
+    epochs: int = 10
+    lr: float = 2.0e-4
+    lr_policy: str = "cosine"
+    dropout_rate: float = 0.1
+    return_grad: bool = False
+    optimizer: str = "adamw"
+    weight_decay: float = 0.01
+    init_type: str = "max"
+    init_gain: float = 0.02
+    warmup_epochs: int = 1
+    kfold: int = 3
+
+    # loss options
+    return_vgrid: bool = False
+    gradient_modulate: bool = True
+    multiscale_attention: bool = True
+    path_cluster_num: float = 0.0008
+    distill_logits: bool = True
+    distill_feature: bool = True
+    temperature: float = 2.0
+
+    # logits combination
+    combination_type: str = "max_confidence"
+    combination_type_teas: str = "max_confidence"
+    combination_type_stus: str = "max_confidence"
+
+    # model
+    mode: str = "teacher"
+    attn_dim: int = 2
+
+    # task
+    task_type: str = "diag2021"
+    label_dim: int = 4
+    survival_interval: str = "all"
+    act_type: str = "Sigmoid"
+
+    # dataset options
+    coTraining: bool = True
+    external_eval: bool = False
+    save4roc: bool = False
+    printDataSplit: bool = False
+    save4visualization: bool = False
+
+    # --- new (TPU framework) knobs, all optional ---------------------------
+    # synthetic-data fallback when no manifests exist on disk
+    synthetic_data: bool = False
+    synthetic_train_size: int = 64
+    synthetic_test_size: int = 32
+    # evaluation cadence during training (reference hardcodes 10,
+    # reference train_test.py:234 — and runs a FULL test pass that often;
+    # configurable here because that is a major host-sync anti-pattern)
+    eval_every_iters: int = 10
+    eval_during_training: bool = True
+    # numerics
+    compute_dtype: str = "float32"  # or "bfloat16" for matmul-heavy paths
+    use_pallas: bool = True  # use fused Pallas kernels where available
+    remat: bool = True  # rematerialize CPB/attention internals
+    # mesh
+    mesh_data_axis: int = 0  # 0 = all local devices
+    # misc
+    debug: bool = False
+    cur_fold: int = 0
+    rank: int = 0
+    world_size: int = 1
+    log_dir: str = "./logs"
+    wandb: bool = False
+
+    # ------------------------------------------------------------------
+    @property
+    def label_column(self) -> int:
+        return _TASK_LABEL_COLUMN[self.task_type]
+
+    @property
+    def class_weights(self):
+        return TASK_CLASS_WEIGHTS.get(self.task_type)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in d.items() if k in known}
+        extra = {k: v for k, v in d.items() if k not in known}
+        cfg = cls(**kwargs)
+        cfg._extra = extra  # keep unknown keys for forward compat
+        return cfg
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "Config":
+        return cls.from_dict(yaml_config_hook(path))
+
+    @classmethod
+    def from_args(cls, argv=None, default_yaml: str | None = None) -> "Config":
+        """YAML preset + CLI overrides, reference main.py:434-446 workflow."""
+        pre = argparse.ArgumentParser(add_help=False)
+        pre.add_argument("--config", default=default_yaml)
+        ns, rest = pre.parse_known_args(argv)
+        ycfg = yaml_config_hook(ns.config) if ns.config else {}
+        base = dataclasses.asdict(cls())
+        base.update(ycfg)
+        parser = build_parser(base)
+        parser.add_argument("--config", default=ns.config)
+        args = parser.parse_args(argv)
+        d = vars(args)
+        d.pop("config", None)
+        cfg = cls.from_dict(d)
+        cfg.validate()
+        return cfg
+
+    def validate(self):
+        if self.task_type not in _TASK_LABEL_COLUMN:
+            raise ValueError(f"unknown task_type {self.task_type!r}")
+        expected = _TASK_LABEL_DIM[self.task_type]
+        if self.label_dim != expected:
+            # reference relies on the YAML to keep these in sync; we enforce it
+            self.label_dim = expected
+        if self.fixdim <= 0:
+            raise ValueError("fixdim must be positive")
+        n = self.fixdim
+        r = int(round(n ** 0.5))
+        if r * r != n:
+            raise ValueError(
+                f"fixdim={n} must be a perfect square: the deformable 2D "
+                "attention views the bag as a sqrt(N) x sqrt(N) grid "
+                "(reference models/DeformableAttention2D.py:241-242)"
+            )
+        return self
+
+    def replace(self, **kw) -> "Config":
+        new = dataclasses.replace(self, **kw)
+        new._extra = getattr(self, "_extra", {})
+        return new
+
+
+def load_config(path_or_cfg) -> Config:
+    if isinstance(path_or_cfg, Config):
+        return path_or_cfg
+    if isinstance(path_or_cfg, dict):
+        return Config.from_dict(path_or_cfg)
+    return Config.from_yaml(path_or_cfg)

@@ -1,0 +1,50 @@
+"""K-fold patient-level splits.
+
+Reproduces the reference split protocol (reference main.py:226-270):
+``np.random.seed(seed)`` → unique patient ids → ``np.random.shuffle`` →
+``KFold(n_splits=k, shuffle=True, random_state=seed)`` over patients →
+select manifest rows whose patient id falls in the train/test fold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _kfold_indices(n: int, k: int, seed: int):
+    """sklearn.model_selection.KFold(shuffle=True, random_state=seed) exact
+    reimplementation (so sklearn stays an optional dependency):
+    a seeded permutation split into k contiguous chunks with the first
+    ``n % k`` folds one element larger."""
+    rng = np.random.RandomState(seed)
+    idx = np.arange(n)
+    rng.shuffle(idx)
+    fold_sizes = np.full(k, n // k, dtype=int)
+    fold_sizes[: n % k] += 1
+    current = 0
+    for fs in fold_sizes:
+        test = idx[current: current + fs]
+        train = np.concatenate([idx[:current], idx[current + fs:]])
+        current += fs
+        yield np.sort(train), np.sort(test)
+
+
+def kfold_patient_split(patient_col: np.ndarray, k: int, seed: int):
+    """Yield (fold, train_mask, test_mask) over manifest rows.
+
+    ``patient_col`` is column 0 of the manifest (reference main.py:230-236).
+    The same seed gives the same folds across runs — required because the
+    reference's inference entry rebuilds the fold-0 split from the seed
+    (reference inference.py:113-121).
+    """
+    patients = np.unique(np.asarray(patient_col))
+    rng = np.random.RandomState(seed)
+    # reference shuffles the unique patient list first (main.py:233-234)
+    rng.shuffle(patients)
+    for fold, (train_idx, test_idx) in enumerate(_kfold_indices(len(patients), k, seed)):
+        train_p = set(patients[train_idx].tolist())
+        test_p = set(patients[test_idx].tolist())
+        col = np.asarray(patient_col)
+        train_mask = np.array([p in train_p for p in col])
+        test_mask = np.array([p in test_p for p in col])
+        yield fold, train_mask, test_mask
