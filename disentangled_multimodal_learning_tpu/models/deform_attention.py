@@ -1,0 +1,334 @@
+"""Deformable cross-attention (the flagship kernels), 2-D and 1-D.
+
+TPU-native re-design of the reference deformable attention
+(models/DeformableAttention2D.py:162-342, models/DeformableAttention1D.py:
+106-240, both derived from lucidrains/deformable-attention):
+
+- token tensors are channels-last ``[B, N, C]`` (the reference transposes to
+  NCHW for torch convs; here the grouped 1x1 convs are block-diagonal einsums
+  that ride the MXU directly);
+- ``F.grid_sample`` is replaced by the hand-rolled gather-4+lerp in
+  ops/grid_sample.py (bit-matched against torch, see tests/test_grid_sample*);
+- the SwinV2 continuous-position-bias MLP (CPB) is wrapped in
+  ``jax.checkpoint`` — its ``[B·G, N, K, dim]`` hidden activations dominate
+  HBM otherwise and are cheap to recompute in the backward pass;
+- the 1-D module supports both the corrected 1-D bilinear sampler and a
+  bit-exact emulation of the reference's degenerate pad-to-2D trick
+  (``degenerate_sampling=True``; see ops/grid_sample.py for the analysis).
+
+Pipeline (2-D): queries from x1 on a sqrt(N) x sqrt(N) grid -> per-group
+offset conv (stride ``downsample_factor``) predicts a small deformed kv grid
+(12x12 for N=2500) -> bilinear-gather x2 at those positions -> k/v projections
+-> attention [N_q, N_kv] with CPB relative-position bias.
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.grid_sample import grid_sample_1d, grid_sample_1d_torchtrick, grid_sample_2d
+
+
+class Scale(nn.Module):
+    scale: float
+
+    def __call__(self, x):
+        return x * self.scale
+
+
+class GroupedPointwise(nn.Module):
+    """Grouped 1x1 conv as a block-diagonal einsum: ``[..., G*Ci] -> [..., G*Co]``
+    (reference uses nn.Conv2d(dim, inner, 1, groups=G),
+    models/DeformableAttention2D.py:219-222)."""
+
+    groups: int
+    features: int  # total output features (G * Co)
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.groups
+        cin = x.shape[-1] // g
+        cout = self.features // g
+        w = self.param("kernel", nn.initializers.lecun_normal(), (g, cin, cout))
+        y = jnp.einsum("...gi,gio->...go", x.reshape(*x.shape[:-1], g, cin), w)
+        y = y.reshape(*x.shape[:-1], self.features)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
+class _CPBBias(nn.Module):
+    """Inner CPB computation — wrapped in nn.remat by :class:`CPB` so the
+    ``[B*G, Nq, Nk, dim]`` MLP hiddens are recomputed in the backward pass
+    instead of living in HBM."""
+
+    dim: int
+    depth: int
+    out_per_group: int
+    log_distance: bool
+
+    @nn.compact
+    def __call__(self, grid_q: jnp.ndarray, grid_kv: jnp.ndarray) -> jnp.ndarray:
+        pos = grid_q[None, :, None, :] - grid_kv[:, None, :, :]  # [B*G,Nq,Nk,P]
+        if self.log_distance:
+            pos = jnp.sign(pos) * jnp.log(jnp.abs(pos) + 1.0)
+        h = pos
+        for i in range(self.depth):
+            h = nn.relu(nn.Dense(self.dim, name=f"mlp_{i}")(h))
+        return nn.Dense(self.out_per_group, name="mlp_out")(h)
+
+
+class CPB(nn.Module):
+    """SwinV2 continuous positional bias MLP (reference
+    models/DeformableAttention2D.py:121-158; 1-D flavor at
+    models/DeformableAttention1D.py:60-102).
+
+    grid_q: ``[Nq, P]`` static query coords; grid_kv: ``[B*G, Nk, P]`` sampled
+    coords (P=2 for 2-D, 1 for 1-D).  Returns bias ``[B, heads, Nq, Nk]``.
+    """
+
+    dim: int
+    heads: int
+    offset_groups: int
+    depth: int = 2
+    log_distance: bool = True
+
+    @nn.compact
+    def __call__(self, grid_q: jnp.ndarray, grid_kv: jnp.ndarray) -> jnp.ndarray:
+        bg = grid_kv.shape[0]
+        b = bg // self.offset_groups
+        out_per_group = self.heads // self.offset_groups
+        bias = nn.remat(_CPBBias)(
+            self.dim, self.depth, out_per_group, self.log_distance, name="bias_mlp"
+        )(grid_q, grid_kv)
+        nq, nk = bias.shape[1], bias.shape[2]
+        bias = bias.reshape(b, self.offset_groups, nq, nk, out_per_group)
+        bias = bias.transpose(0, 1, 4, 2, 3).reshape(b, self.heads, nq, nk)
+        return bias
+
+
+def create_grid_2d(h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[2, h, w] with channel 0 = x (width index), 1 = y (height index)
+    (reference create_grid_like with indexing='xy',
+    models/DeformableAttention2D.py:89-99)."""
+    ys = jnp.arange(h, dtype=dtype)
+    xs = jnp.arange(w, dtype=dtype)
+    gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
+    return jnp.stack([gx, gy], axis=0)
+
+
+def normalize_grid_2d(grid: jnp.ndarray) -> jnp.ndarray:
+    """[.., 2, h, w] -> [.., h, w, 2] scaled to [-1, 1].
+
+    NOTE: the reference's normalize_grid (models/DeformableAttention2D.py:
+    101-109) unbinds (x, y) but normalizes the first by (h-1) and the second
+    by (w-1) — swapped denominators. Harmless there because h == w always; we
+    normalize x by (w-1) and y by (h-1), correct for any aspect ratio.
+    """
+    h, w = grid.shape[-2:]
+    gx = grid[..., 0, :, :] * (2.0 / max(w - 1, 1)) - 1.0
+    gy = grid[..., 1, :, :] * (2.0 / max(h - 1, 1)) - 1.0
+    return jnp.stack([gx, gy], axis=-1)
+
+
+class _DepthwiseConv(nn.Module):
+    """Depthwise conv (2D kernel k, stride s) on NHWC."""
+
+    kernel_size: int
+    stride: int
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, c = self.kernel_size, self.stride, self.channels
+        ker = self.param("kernel", nn.initializers.lecun_normal(), (k, k, 1, c))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        pad = (k - s) // 2
+        y = jax.lax.conv_general_dilated(
+            x, ker, (s, s), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        )
+        return y + bias
+
+
+class DeformCrossAttention2D(nn.Module):
+    """2-D deformable cross attention: x1 queries, x2 sampled as kv.
+
+    Config matches the reference instantiation (models/Modules.py:107-126):
+    dim=128, dim_head=64, heads=8, offset_groups=8, downsample_factor=4,
+    offset_scale=4, offset_kernel_size=6, grouped q/k/v.
+
+    Inputs x1, x2: ``[B, N, C]`` with N a perfect square.
+    Returns (out ``[B, N, C]``, attn ``[B, heads, N, K]``) or (out, vgrid
+    ``[B*G, 2, gh, gw]``) when ``return_vgrid`` — exactly the reference's two
+    return modes (models/DeformableAttention2D.py:328-342).
+    """
+
+    dim: int
+    dim_head: int = 64
+    heads: int = 8
+    dropout: float = 0.0
+    downsample_factor: int = 4
+    offset_scale: float = 4.0
+    offset_groups: int = 8
+    offset_kernel_size: int = 6
+
+    @nn.compact
+    def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, *, return_vgrid: bool = False,
+                 deterministic: bool = True):
+        B, N, C = x1.shape
+        side = int(math.isqrt(N))
+        assert side * side == N, f"token count {N} must be a perfect square"
+        G, H = self.offset_groups, self.heads
+        inner = self.dim_head * H
+        od = inner // G  # offset-conv channel count per group
+
+        q = GroupedPointwise(G, inner, use_bias=False, name="to_q")(x1)  # [B,N,inner]
+
+        # ---- offsets from grouped queries --------------------------------
+        qg = q.reshape(B, side, side, G, od).transpose(0, 3, 1, 2, 4)
+        qg = qg.reshape(B * G, side, side, od)  # [B*G, h, w, od]
+        off = _DepthwiseConv(self.offset_kernel_size, self.downsample_factor, od,
+                             name="offset_conv")(qg)
+        off = nn.gelu(off, approximate=False)
+        off = nn.Dense(2, use_bias=False, name="offset_out")(off)  # [B*G, gh, gw, 2]
+        off = jnp.tanh(off) * self.offset_scale
+        gh, gw = off.shape[1], off.shape[2]
+        off = off.transpose(0, 3, 1, 2)  # [B*G, 2, gh, gw]
+
+        grid = create_grid_2d(gh, gw, dtype=off.dtype)
+        vgrid = grid[None] + off  # [B*G, 2, gh, gw]
+        # vgrid is normalized by the SMALL grid extent (gh-1, gw-1), exactly
+        # like the reference (normalize_grid reads vgrid.shape[-2:],
+        # models/DeformableAttention2D.py:270): the coarse 12x12 base grid is
+        # stretched over the full 50x50 kv map in normalized coordinates, and
+        # a tanh offset of +-offset_scale small-grid units deforms it.
+        vgrid_scaled = normalize_grid_2d(vgrid)  # [B*G, gh, gw, 2]
+
+        # ---- gather kv features at deformed positions --------------------
+        x2g = x2.reshape(B, side, side, G, C // G).transpose(0, 3, 1, 2, 4)
+        x2g = x2g.reshape(B * G, side, side, C // G)
+        pts = vgrid_scaled.reshape(B * G, gh * gw, 2)
+        kv = grid_sample_2d(x2g, pts)  # [B*G, K, C//G]
+        K = gh * gw
+        kv = kv.reshape(B, G, K, C // G).transpose(0, 2, 1, 3).reshape(B, K, C)
+
+        k = GroupedPointwise(G, inner, use_bias=False, name="to_k")(kv)
+        v = GroupedPointwise(G, inner, use_bias=False, name="to_v")(kv)
+
+        # ---- attention ----------------------------------------------------
+        scale = self.dim_head ** -0.5
+
+        def split(t):
+            return t.reshape(B, -1, H, self.dim_head).transpose(0, 2, 1, 3)
+
+        qh = split(q) * scale
+        kh, vh = split(k), split(v)
+        sim = jnp.einsum("bhid,bhjd->bhij", qh, kh)  # [B,H,N,K]
+
+        grid_full = create_grid_2d(side, side, dtype=x1.dtype)
+        grid_q = normalize_grid_2d(grid_full).reshape(N, 2)
+        bias = CPB(self.dim // 4, heads=H, offset_groups=G, depth=2,
+                   name="rel_pos_bias")(grid_q, pts)
+        sim = sim + bias
+        sim = sim - jax.lax.stop_gradient(jnp.max(sim, axis=-1, keepdims=True))
+        attn = jax.nn.softmax(sim, axis=-1)
+        attn_return = attn
+        attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
+
+        out = jnp.einsum("bhij,bhjd->bhid", attn, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
+        out = nn.Dense(self.dim, use_bias=True, name="to_out")(out)
+
+        if return_vgrid:
+            return out, vgrid
+        return out, attn_return
+
+
+class DeformCrossAttention1D(nn.Module):
+    """1-D deformable cross attention (reference
+    models/DeformableAttention1D.py:106-240; instantiated with dim=128,
+    downsample_factor=4, offset_scale=2, offset_kernel_size=6 and default
+    offset_groups=4, ungrouped q/k/v at models/DeformCrossTransMIL.py:55-60).
+
+    ``degenerate_sampling=True`` reproduces the reference's pad-to-2D
+    grid-sample bug exactly (see ops/grid_sample.py); default False uses the
+    corrected 1-D bilinear gather.
+    """
+
+    dim: int
+    dim_head: int = 64
+    heads: int = 8
+    dropout: float = 0.0
+    downsample_factor: int = 4
+    offset_scale: float = 2.0
+    offset_groups: int = 4
+    offset_kernel_size: int = 6
+    degenerate_sampling: bool = False
+
+    @nn.compact
+    def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, *, return_vgrid: bool = False,
+                 deterministic: bool = True):
+        B, N, C = x1.shape
+        G, H = self.offset_groups, self.heads
+        inner = self.dim_head * H
+        od = inner // G
+
+        q = nn.Dense(inner, use_bias=False, name="to_q")(x1)  # ungrouped 1x1 conv
+
+        qg = q.reshape(B, N, G, od).transpose(0, 2, 1, 3).reshape(B * G, N, od)
+        # depthwise conv1d k=6 s=4 p=1 over the length axis
+        k_, s_ = self.offset_kernel_size, self.downsample_factor
+        ker = self.param("offset_conv_kernel", nn.initializers.lecun_normal(), (k_, 1, od))
+        cbias = self.param("offset_conv_bias", nn.initializers.zeros, (od,))
+        pad = (k_ - s_) // 2
+        off = jax.lax.conv_general_dilated(
+            qg, ker, (s_,), ((pad, pad),),
+            dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=od,
+        ) + cbias
+        off = nn.gelu(off, approximate=False)
+        off = nn.Dense(1, use_bias=False, name="offset_out")(off)[..., 0]  # [B*G, n_ds]
+        off = jnp.tanh(off) * self.offset_scale
+        n_ds = off.shape[-1]
+
+        grid = jnp.arange(n_ds, dtype=off.dtype)
+        vgrid = grid[None] + off  # [B*G, n_ds]
+        vgrid_scaled = 2.0 * vgrid / max(n_ds - 1, 1) - 1.0
+
+        x2g = x2.reshape(B, N, G, C // G).transpose(0, 2, 1, 3).reshape(B * G, N, C // G)
+        sampler = grid_sample_1d_torchtrick if self.degenerate_sampling else grid_sample_1d
+        kv = sampler(x2g, vgrid_scaled)  # [B*G, n_ds, C//G]
+        kv = kv.reshape(B, G, n_ds, C // G).transpose(0, 2, 1, 3).reshape(B, n_ds, C)
+
+        kk = nn.Dense(inner, use_bias=False, name="to_k")(kv)
+        vv = nn.Dense(inner, use_bias=False, name="to_v")(kv)
+
+        scale = self.dim_head ** -0.5
+
+        def split(t):
+            return t.reshape(B, -1, H, self.dim_head).transpose(0, 2, 1, 3)
+
+        qh = split(q) * scale
+        sim = jnp.einsum("bhid,bhjd->bhij", qh, split(kk))
+
+        seq = jnp.arange(N, dtype=x1.dtype)
+        seq_scaled = (2.0 * seq / max(N - 1, 1) - 1.0)[:, None]  # [N,1]
+        bias = CPB(self.dim // 4, heads=H, offset_groups=G, depth=2,
+                   name="rel_pos_bias")(seq_scaled, vgrid_scaled[..., None])
+        sim = sim + bias
+        sim = sim - jax.lax.stop_gradient(jnp.max(sim, axis=-1, keepdims=True))
+        attn = jax.nn.softmax(sim, axis=-1)
+        attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
+
+        out = jnp.einsum("bhij,bhjd->bhid", attn, split(vv))
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
+        out = nn.Dense(self.dim, use_bias=True, name="to_out")(out)
+
+        if return_vgrid:
+            return out, vgrid
+        return out

@@ -1,0 +1,137 @@
+"""Bilinear grid sampling (the ``F.grid_sample`` replacement).
+
+The reference's deformable attention gathers key/value features at learned
+offset positions via ``F.grid_sample(mode='bilinear', padding_mode='zeros',
+align_corners=False)`` (reference models/DeformableAttention2D.py:274-277 and
+the 1-D pad-to-2D trick at models/DeformableAttention1D.py:36-43).  JAX has no
+such primitive; this module implements the exact semantics as a gather-4 +
+lerp with per-corner edge masking.
+
+TPU-native layout note: the core works channels-last ``[B, H, W, C]`` with a
+flat point list ``[B, P, 2]`` — one batched gather over the flattened spatial
+axis (lane dimension = C, MXU/VPU friendly) instead of torch's NCHW walk.
+Golden tests compare bit-level against torch CPU (tests/test_grid_sample.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _gather_hw(feats_flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """feats_flat [B, H*W, C], idx [B, P] -> [B, P, C]."""
+    return jnp.take_along_axis(feats_flat, idx[..., None], axis=1)
+
+
+def grid_sample_2d(feats: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample with zeros padding, align_corners=False.
+
+    Args:
+      feats: ``[B, H, W, C]`` feature map (channels last).
+      points: ``[B, P, 2]`` normalized coords in [-1, 1]; ``points[..., 0]``
+        is x (width axis), ``points[..., 1]`` is y (height axis) — torch
+        grid_sample convention.
+
+    Returns:
+      ``[B, P, C]`` sampled features; out-of-bounds corners contribute zero.
+    """
+    B, H, W, C = feats.shape
+    x = points[..., 0]
+    y = points[..., 1]
+    # unnormalize, align_corners=False: ((coord + 1) * size - 1) / 2
+    fx = ((x + 1.0) * W - 1.0) * 0.5
+    fy = ((y + 1.0) * H - 1.0) * 0.5
+
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+    wx1 = fx - x0
+    wx0 = 1.0 - wx1
+    wy1 = fy - y0
+    wy0 = 1.0 - wy1
+
+    def corner(cx, cy, wgt):
+        ix = cx.astype(jnp.int32)
+        iy = cy.astype(jnp.int32)
+        valid = (cx >= 0) & (cx <= W - 1) & (cy >= 0) & (cy <= H - 1)
+        ixc = jnp.clip(ix, 0, W - 1)
+        iyc = jnp.clip(iy, 0, H - 1)
+        flat = iyc * W + ixc
+        g = _gather_hw(feats.reshape(B, H * W, C), flat)
+        w = (wgt * valid.astype(feats.dtype))[..., None]
+        return g * w
+
+    out = (
+        corner(x0, y0, wx0 * wy0)
+        + corner(x1, y0, wx1 * wy0)
+        + corner(x0, y1, wx0 * wy1)
+        + corner(x1, y1, wx1 * wy1)
+    )
+    return out
+
+
+def grid_sample_2d_nchw(feats: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """torch-layout wrapper: feats ``[B, C, H, W]``, grid ``[B, h, w, 2]`` ->
+    ``[B, C, h, w]`` (exact F.grid_sample signature used by the reference)."""
+    B, C, H, W = feats.shape
+    h, w = grid.shape[1:3]
+    pts = grid.reshape(B, h * w, 2)
+    out = grid_sample_2d(jnp.transpose(feats, (0, 2, 3, 1)), pts)  # [B, hw, C]
+    return jnp.transpose(out, (0, 2, 1)).reshape(B, C, h, w)
+
+
+def grid_sample_1d(feats: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """1-D bilinear sample, zeros padding, align_corners=False.
+
+    Matches the reference's pad-to-2D trick (models/DeformableAttention1D.py:
+    36-43): a length-N sequence is treated as a 1 x N image sampled at y=0.
+
+    Args:
+      feats: ``[B, N, C]``; points: ``[B, P]`` normalized coords in [-1, 1].
+    Returns: ``[B, P, C]``.
+    """
+    B, N, C = feats.shape
+    fx = ((points + 1.0) * N - 1.0) * 0.5
+    x0 = jnp.floor(fx)
+    x1 = x0 + 1.0
+    w1 = fx - x0
+    w0 = 1.0 - w1
+
+    def corner(cx, wgt):
+        ix = cx.astype(jnp.int32)
+        valid = (cx >= 0) & (cx <= N - 1)
+        g = _gather_hw(feats, jnp.clip(ix, 0, N - 1))
+        return g * (wgt * valid.astype(feats.dtype))[..., None]
+
+    return corner(x0, w0) + corner(x1, w1)
+
+
+def grid_sample_1d_torchtrick(feats: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Bit-exact equivalent of the reference ``grid_sample_1d`` helper
+    (models/DeformableAttention1D.py:36-43).
+
+    That helper pads the 1-D grid with a zero second coordinate and reshapes
+    the sequence to an ``[N, 1]`` image -- which puts the DATA coordinate on
+    the width axis of size 1 and samples the height axis (the actual
+    sequence) at the constant y=0, i.e. at the sequence CENTER.  The result
+    (verified against torch CPU, see tests/test_grid_sample.py) is
+
+        out[b, p] = center(feats[b]) * max(1 - |v_p| / 2, 0)
+
+    with ``center`` = middle element (odd N) or mean of the two middle
+    elements (even N).  This is a latent bug in the reference -- the learned
+    offsets only modulate a scalar gain on one fixed feature -- documented and
+    reproduced here exactly for parity; the corrected sampler
+    (:func:`grid_sample_1d`) is what the framework uses by default.
+
+    Args: feats ``[B, N, C]``, points ``[B, P]`` in [-1, 1].
+    Returns: ``[B, P, C]``.
+    """
+    B, N, C = feats.shape
+    if N % 2 == 1:
+        center = feats[:, (N - 1) // 2, :]
+    else:
+        center = 0.5 * (feats[:, N // 2 - 1, :] + feats[:, N // 2, :])
+    gain = jnp.maximum(1.0 - jnp.abs(points) * 0.5, 0.0)
+    return center[:, None, :] * gain[..., None]

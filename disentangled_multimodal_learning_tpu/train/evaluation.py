@@ -1,0 +1,126 @@
+"""Held-out evaluation loops (the reference's ``epoch*Val*`` family,
+utils/metrics.py:97-661): run the jitted eval step over a loader, accumulate
+softmax activations / risks on host, compute metric dicts.
+
+Key difference from the reference: evaluation is a separate jitted function
+and its cadence is configurable (the reference runs a FULL test pass every 10
+training iterations on rank 0 while other ranks idle at the next collective —
+train_test.py:234-253 — a major host-sync anti-pattern we keep optional)."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from ..data.contract import LabelCol
+from .metrics import cindex, compute_avg_metrics
+from .steps import batch_to_arrays, make_eval_step
+
+
+def _label_col(task_type: str) -> int:
+    return {"diag2021": LabelCol.DIAG, "grade": LabelCol.GRADE,
+            "subtype": LabelCol.SUBTYPE}[task_type]
+
+
+def _softmax_np(x):
+    e = np.exp(x - x.max(-1, keepdims=True))
+    return e / e.sum(-1, keepdims=True)
+
+
+class Evaluator:
+    """Caches the jitted eval step across epochs/folds."""
+
+    def __init__(self, model, cfg, mode: str | None = None):
+        self.cfg = cfg
+        self.mode = (mode or cfg.mode)
+        self.step = jax.jit(make_eval_step(model, cfg, self.mode))
+
+    def _run(self, state, loader):
+        outs, labels = [], []
+        for batch in loader:
+            arrays = batch_to_arrays(batch)
+            out = self.step(state.params, state.batch_stats, arrays)
+            outs.append(jax.device_get(out))
+            labels.append(np.asarray(batch.label))
+        return outs, np.concatenate(labels, axis=0)
+
+    # -- teacher/student dict models (epochDistillVal, utils/metrics.py:97-332)
+    def distill_val(self, state, loader, model_type: str):
+        cfg = self.cfg
+        outs, labels = self._run(state, loader)
+        tags = {"teacher": ("tea10", "tea20", "teas"),
+                "student": ("stu10", "stu20", "stus")}[model_type]
+        if cfg.task_type == "survival":
+            risks = {t: np.concatenate([o[5][f"risk_{t}"] for o in outs]) for t in tags}
+            censor = labels[:, LabelCol.CENSOR]
+            times = labels[:, LabelCol.SURVIVAL_TIME]
+            return {f"cindex_{t}": cindex(risks[t], censor, times) for t in tags}
+        y = labels[:, _label_col(cfg.task_type)]
+        names = ("acc", "f1", "auc", "bac", "sens", "spec", "prec")
+        dicts = {n: {} for n in names}
+        for t in tags:
+            probs = _softmax_np(np.concatenate([o[2][f"logits_{t}"] for o in outs]))
+            vals = compute_avg_metrics(y, probs)
+            for n, v in zip(names, vals):
+                dicts[n][f"{n}_{t}"] = v
+        return tuple(dicts[n] for n in names)
+
+    # -- deformpathomic / pathomic family: metrics on fused logits[2]
+    # (epochVal / epochBaselineModelVal, utils/metrics.py:496-661)
+    def fused_val(self, state, loader):
+        cfg = self.cfg
+        outs, labels = self._run(state, loader)
+        fused = np.concatenate([np.asarray(o[3][2]) for o in outs])
+        if cfg.task_type == "survival":
+            # risk = -sum(cumprod(1 - hazards)) over bins
+            S = np.cumprod(1.0 - fused, axis=1)
+            risk = -S.sum(axis=1)
+            return cindex(risk, labels[:, LabelCol.CENSOR],
+                          labels[:, LabelCol.SURVIVAL_TIME])
+        y = labels[:, _label_col(cfg.task_type)]
+        return compute_avg_metrics(y, _softmax_np(fused))
+
+    # -- simple (logits, hazards, S) models: mcat / cmta / unimodal
+    def simple_val(self, state, loader):
+        cfg = self.cfg
+        outs, labels = self._run(state, loader)
+        if self.mode in ("path", "transmil", "omic"):
+            logits = np.concatenate([np.asarray(o[1]) for o in outs])
+        else:
+            logits = np.concatenate([np.asarray(o[0]) for o in outs])
+        if cfg.task_type == "survival":
+            S = np.concatenate([np.asarray(o[2]) for o in outs])
+            risk = -S.sum(axis=1)
+            return cindex(risk, labels[:, LabelCol.CENSOR],
+                          labels[:, LabelCol.SURVIVAL_TIME])
+        y = labels[:, _label_col(cfg.task_type)]
+        return compute_avg_metrics(y, _softmax_np(logits))
+
+    def __call__(self, state, loader, model_type: str | None = None):
+        if self.mode in ("teacher", "uniteacher", "student", "multiscale",
+                         "distillation"):
+            mt = model_type or ("student" if self.mode in ("student", "distillation")
+                                else "teacher")
+            return self.distill_val(state, loader, mt)
+        if self.mode in ("deformpathomic", "pathomic", "pathomic_original",
+                         "pathomic_fg", "pathomic_ensemble"):
+            return self.fused_val(state, loader)
+        return self.simple_val(state, loader)
+
+
+def save_roc_csv(path: str, ground_truth, activations):
+    """ROC score dump (reference train_test.py:1095-1119 save4roc)."""
+    import csv
+
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["label"] + [f"score_{i}" for i in range(activations.shape[1])])
+        for y, row in zip(ground_truth, activations):
+            w.writerow([int(y)] + [float(v) for v in row])
+
+
+def save_attention_maps(path: str, att: np.ndarray, wsi_ids):
+    """Attention-map export for heatmap visualization: per-head max then mean
+    over kv positions (reference train_test.py:1138-1141)."""
+    maps = att.max(axis=1).mean(axis=-1) if att.ndim == 4 else att
+    np.savez(path, attention=maps, wsi_ids=np.asarray(wsi_ids))

@@ -1,0 +1,236 @@
+"""Golden tests: losses vs torch CPU transcriptions; metrics vs sklearn/hand."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from disentangled_multimodal_learning_tpu.train import losses as L
+from disentangled_multimodal_learning_tpu.train import metrics as M
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+# ------------------------------------------------------------------ CE / surv
+def test_weighted_ce_matches_torch(rng):
+    logits = rng.normal(size=(6, 4)).astype(np.float32)
+    y = rng.integers(0, 4, size=6)
+    w = np.array([1.0, 4.15, 2.93, 2.43], dtype=np.float32)
+    want = torch.nn.CrossEntropyLoss(weight=torch.from_numpy(w))(
+        torch.from_numpy(logits), torch.from_numpy(y)).item()
+    got = float(L.weighted_cross_entropy(jnp.asarray(logits), jnp.asarray(y), w))
+    assert abs(got - want) < 1e-5
+    # unweighted
+    want0 = F.cross_entropy(torch.from_numpy(logits), torch.from_numpy(y)).item()
+    got0 = float(L.weighted_cross_entropy(jnp.asarray(logits), jnp.asarray(y)))
+    assert abs(got0 - want0) < 1e-5
+
+
+def _torch_nll_surv(hazards, S, Y, c, alpha, eps=1e-7):
+    # independent transcription of discrete-time survival NLL with censoring
+    Y = Y.view(-1, 1)
+    c = c.view(-1, 1).float()
+    S_padded = torch.cat([torch.ones_like(c), S], 1)
+    unc = -(1 - c) * (torch.log(torch.gather(S_padded, 1, Y).clamp(min=eps))
+                      + torch.log(torch.gather(hazards, 1, Y).clamp(min=eps)))
+    cen = -c * torch.log(torch.gather(S_padded, 1, Y + 1).clamp(min=eps))
+    neg = cen + unc
+    return ((1 - alpha) * neg + alpha * unc).mean().item()
+
+
+@pytest.mark.parametrize("alpha", [0.0, 0.15, 0.4])
+def test_nll_surv_matches_torch(rng, alpha):
+    B, K = 5, 4
+    logits = rng.normal(size=(B, K)).astype(np.float32)
+    h = 1 / (1 + np.exp(-logits))
+    S = np.cumprod(1 - h, axis=1)
+    Y = rng.integers(0, K, size=B)
+    c = rng.integers(0, 2, size=B)
+    want = _torch_nll_surv(torch.from_numpy(h), torch.from_numpy(S),
+                           torch.from_numpy(Y), torch.from_numpy(c), alpha)
+    got = float(L.nll_surv_loss(jnp.asarray(h), jnp.asarray(S), jnp.asarray(Y),
+                                jnp.asarray(c), alpha=alpha))
+    assert abs(got - want) < 1e-5
+
+
+def test_cox_loss_matches_torch(rng):
+    B = 7
+    survtime = rng.integers(10, 100, size=B).astype(np.float32)
+    censor = rng.integers(0, 2, size=B).astype(np.float32)
+    hazard = rng.normal(size=(B, 1)).astype(np.float32)
+    # torch transcription (reference utils/utils.py:293-308)
+    R = torch.tensor([[float(survtime[j] >= survtime[i]) for j in range(B)]
+                      for i in range(B)])
+    theta = torch.from_numpy(hazard).reshape(-1)
+    want = (-torch.mean((theta - torch.log(torch.sum(torch.exp(theta) * R, dim=1)))
+                        * torch.from_numpy(censor))).item()
+    got = float(L.cox_loss(jnp.asarray(survtime), jnp.asarray(censor),
+                           jnp.asarray(hazard)))
+    assert abs(got - want) < 1e-4
+
+
+# -------------------------------------------------------------- distillation
+def test_distillation_loss_matches_torch(rng):
+    s = rng.normal(size=(4, 4)).astype(np.float32)
+    t = rng.normal(size=(4, 4)).astype(np.float32)
+    T = 2.0
+    soft_t = F.softmax(torch.from_numpy(t) / T, dim=1)
+    soft_s = F.log_softmax(torch.from_numpy(s) / T, dim=1)
+    want = (F.kl_div(soft_s, soft_t, reduction="batchmean") * T ** 2).item()
+    got = float(L.distillation_loss(jnp.asarray(s), jnp.asarray(t), T))
+    assert abs(got - want) < 1e-5
+
+
+# ------------------------------------------------------- batch similarity fam
+def test_path_batch_loss_matches_torch(rng):
+    N = 4
+    a10 = rng.normal(size=(N, 8, 6, 5)).astype(np.float32)
+    a20 = rng.normal(size=(N, 8, 6, 5)).astype(np.float32)
+
+    def torch_version(x, y):
+        x = torch.from_numpy(x).view(N, 8, -1).transpose(0, 1)
+        y = torch.from_numpy(y).view(N, 8, -1).transpose(0, 1)
+
+        def mean_sim(t):
+            sims = []
+            for item in t:
+                s = item.mm(item.t())
+                s = s / torch.norm(s, 2, 1).view(-1, 1)
+                sims.append(s)
+            return torch.mean(torch.stack(sims), dim=0)
+
+        return torch.sum((mean_sim(x) - mean_sim(y)) ** 2 / N).item()
+
+    want = torch_version(a10, a20)
+    got = float(L.path_batch_loss(jnp.asarray(a10), jnp.asarray(a20)))
+    assert abs(got - want) < 1e-4
+
+
+def test_omic_domain_scale_loss_matches_torch(rng):
+    N = 4
+    atts = [rng.normal(size=(N, 8, 6, 5)).astype(np.float32) for _ in range(4)]
+
+    def torch_version(a1_10, a1_20, a2_10, a2_20):
+        def sim(a, b):
+            a = torch.from_numpy(a).view(N, -1)
+            b = torch.from_numpy(b).view(N, -1)
+            s = a.mm(b.t())
+            s = s / torch.norm(s, 2, 1).view(-1, 1)
+            return 10000 * torch.var(s.diagonal())
+
+        return (sim(a1_10, a1_20) + sim(a2_10, a2_20)).item()
+
+    want = torch_version(*atts)
+    got = float(L.omic_domain_scale_loss(*[jnp.asarray(a) for a in atts]))
+    assert abs(got - want) / max(abs(want), 1) < 1e-4
+
+
+def test_batch_loss_vgrid_matches_torch(rng):
+    N, G = 4, 8
+    omic = rng.normal(size=(N, 16)).astype(np.float32)
+    vgrid = rng.normal(size=(N * G, 2, 3, 3)).astype(np.float32)
+
+    def torch_version(o, v):
+        o = torch.from_numpy(o).view(N, -1)
+        v = torch.from_numpy(v).view(8, N, -1)
+        s = o.mm(o.t())
+        s = s / torch.norm(s, 2, 1).view(-1, 1)
+        sims = []
+        for item in v:
+            vs = item.mm(item.t())
+            vs = vs / torch.norm(vs, 2, 1).view(-1, 1)
+            sims.append(vs)
+        mean_vs = torch.mean(torch.stack(sims), dim=0)
+        return torch.sum((s - mean_vs) ** 2 / N).item()
+
+    want = torch_version(omic, vgrid)
+    got = float(L.batch_loss_vgrid(jnp.asarray(omic), jnp.asarray(vgrid)))
+    assert abs(got - want) < 1e-4
+
+
+def test_orthogonal_loss_matches_torch(rng):
+    B, D = 4, 8
+    P, Ph, G, Gh = [rng.normal(size=(B, D)).astype(np.float32) for _ in range(4)]
+    tP, tPh, tG, tGh = map(torch.from_numpy, (P, Ph, G, Gh))
+    pos = (1 - torch.abs(F.cosine_similarity(tP.detach(), tPh, dim=1))) + (
+        1 - torch.abs(F.cosine_similarity(tG.detach(), tGh, dim=1)))
+    neg = (torch.abs(F.cosine_similarity(tP, tG, dim=1))
+           + torch.abs(F.cosine_similarity(tP.detach(), tGh, dim=1))
+           + torch.abs(F.cosine_similarity(tG.detach(), tPh, dim=1)))
+    want = (pos + 0.5 * neg).numpy()
+    got = np.asarray(L.orthogonal_loss(*map(jnp.asarray, (P, Ph, G, Gh))))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+# -------------------------------------------------------------------- metrics
+def test_compute_avg_metrics_against_sklearn(rng):
+    sk = pytest.importorskip("sklearn.metrics")
+    y = rng.integers(0, 4, size=50)
+    logits = rng.normal(size=(50, 4))
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    acc, f1, auc, bac, sens, spec, prec = M.compute_avg_metrics(y, probs)
+    pred = probs.argmax(-1)
+    assert abs(acc - sk.accuracy_score(y, pred)) < 1e-9
+    assert abs(f1 - sk.f1_score(y, pred, average="macro")) < 1e-9
+    assert abs(auc - sk.roc_auc_score(y, probs, multi_class="ovr")) < 1e-9
+    assert abs(bac - sk.balanced_accuracy_score(y, pred)) < 1e-9
+    assert abs(sens - sk.recall_score(y, pred, average="macro")) < 1e-9
+
+
+def test_numpy_auc_matches_sklearn(rng):
+    sk = pytest.importorskip("sklearn.metrics")
+    y = rng.integers(0, 3, size=60)
+    logits = rng.normal(size=(60, 3))
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    got = M.auc_ovr_macro(y, probs)
+    want = sk.roc_auc_score(y, probs, multi_class="ovr")
+    assert abs(got - want) < 1e-9
+
+
+def test_specificity_binary_hand_case():
+    # TN=2, FP=1 for class 1; confusion known by hand
+    y_true = np.array([0, 0, 0, 1, 1])
+    y_pred = np.array([0, 0, 1, 1, 0])
+    # class0: TN = (true1 pred1)=1, FP = pred0 & true1 =1 -> spec0 = 1/2
+    # class1: TN = true0 pred0 = 2, FP = pred1 & true0 = 1 -> spec1 = 2/3
+    want = 0.5 * (1 / 2 + 2 / 3)
+    assert abs(M.specificity_macro(y_true, y_pred, 2) - want) < 1e-9
+
+
+def test_cindex_hand_case():
+    # 3 samples: times 1 < 2 < 3, all events; perfect risk ordering
+    t = np.array([1.0, 2.0, 3.0])
+    censor = np.array([0, 0, 0])
+    risk = np.array([3.0, 2.0, 1.0])
+    assert M.cindex(risk, censor, t) == 1.0
+    # anti-ordered
+    assert M.cindex(-risk, censor, t) == 0.0
+    # one censored sample: pairs from censored i are excluded
+    censor2 = np.array([1, 0, 0])
+    assert M.cindex(risk, censor2, t) == 1.0
+    # tied risks -> 0.5 credit
+    risk3 = np.array([1.0, 1.0, 1.0])
+    assert M.cindex(risk3, censor, t) == 0.5
+
+
+def test_cindex_matches_lifelines_formula(rng):
+    """Cross-check against an independent O(n^2) implementation."""
+    n = 25
+    t = rng.integers(1, 50, size=n).astype(float)
+    c = rng.integers(0, 2, size=n)
+    r = rng.normal(size=n)
+    ev = (1 - c).astype(bool)
+    conc = ties = comp = 0
+    for i in range(n):
+        for j in range(n):
+            if i == j or not ev[i]:
+                continue
+            if t[j] > t[i] or (t[j] == t[i] and not ev[j]):
+                comp += 1
+                if abs(r[i] - r[j]) <= 1e-8:
+                    ties += 1
+                elif r[i] > r[j]:
+                    conc += 1
+    want = (conc + 0.5 * ties) / comp
+    assert abs(M.cindex(r, c, t) - want) < 1e-12
