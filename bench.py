@@ -1,0 +1,80 @@
+"""Benchmark: flagship teacher training throughput (fwd+bwd+update), real shapes.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "bags/sec/chip", "vs_baseline": N}
+
+Baseline note: the reference publishes NO throughput numbers anywhere
+(SURVEY.md §6); its configs ran 2xGPU with batch_size=4.  ``vs_baseline``
+is therefore computed against an ESTIMATED A100 throughput of the PyTorch
+reference teacher step (REF_A100_BAGS_PER_SEC below) derived from an
+operation count: per scale, 2 deformable attentions materialize
+[B,8,2500,144] attention plus a CPB MLP over [B*8,2500,144,{2->32->32->1}]
+(~0.5 TFLOP/bag fwd+bwd, plus ~6 GB of f32 activation traffic/bag —
+bandwidth-bound on A100 at ~1.5 TB/s => ~25 bags/s optimistic).  Replace with
+a measured number when A100 hardware is available.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REF_A100_BAGS_PER_SEC = 25.0  # estimate — see module docstring
+
+BATCH = 8
+FIXDIM = 2500
+WARMUP = 2
+ITERS = 10
+
+
+def main():
+    import jax
+
+    from disentangled_multimodal_learning_tpu.config import Config
+    from disentangled_multimodal_learning_tpu.data import (BagLoader,
+                                                           SyntheticBagDataset)
+    from disentangled_multimodal_learning_tpu.models.factory import define_net
+    from disentangled_multimodal_learning_tpu.train.optim import make_optimizer
+    from disentangled_multimodal_learning_tpu.train.steps import (
+        batch_to_arrays, make_train_step)
+    from disentangled_multimodal_learning_tpu.train.trainers import init_model_state
+
+    cfg = Config(mode="teacher", task_type="diag2021", label_dim=4,
+                 fixdim=FIXDIM, batch_size=BATCH, gradient_modulate=True,
+                 multiscale_attention=True, checkpoints="#", debug=True).validate()
+    ds = SyntheticBagDataset(size=BATCH, fixdim=FIXDIM, label_dim=4, seed=0,
+                             args=cfg)
+    batch = BagLoader(ds, BATCH, shuffle=False).__iter__().__next__()
+    arrays = batch_to_arrays(batch)
+
+    model = define_net(cfg)
+    tx = make_optimizer(cfg, 100)
+    state = init_model_state(model, cfg, batch, tx)
+    step = jax.jit(make_train_step(model, cfg, tx), donate_argnums=(0,))
+
+    rng = jax.random.PRNGKey(0)
+    for _ in range(WARMUP):
+        rng, k = jax.random.split(rng)
+        state, m = step(state, arrays, k, None)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        rng, k = jax.random.split(rng)
+        state, m = step(state, arrays, k, None)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    bags_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "teacher_train_throughput_fixdim2500",
+        "value": round(bags_per_sec, 3),
+        "unit": "bags/sec/chip",
+        "vs_baseline": round(bags_per_sec / REF_A100_BAGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -51,8 +51,12 @@ def build_parser(yaml_config: dict, parser: argparse.ArgumentParser | None = Non
     """Mirror every YAML key into an argparse flag (reference main.py:437-439)."""
     parser = parser or argparse.ArgumentParser()
     for k, v in yaml_config.items():
+        if k == "debug":
+            continue
         parser.add_argument(f"--{k}", default=v, type=_flag_type(v))
-    parser.add_argument("--debug", action="store_true", help="debug mode (disable wandb/logging sinks)")
+    parser.add_argument("--debug", action="store_true",
+                        default=bool(yaml_config.get("debug", False)),
+                        help="debug mode (disable wandb/logging sinks)")
     return parser
 
 

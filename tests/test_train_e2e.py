@@ -1,0 +1,123 @@
+"""End-to-end smoke tests: one short training run per mode on synthetic data,
+through the same driver main.py uses."""
+
+import numpy as np
+import pytest
+
+from disentangled_multimodal_learning_tpu.config import Config
+from disentangled_multimodal_learning_tpu.data import BagLoader, SyntheticBagDataset
+from disentangled_multimodal_learning_tpu.models.factory import define_net
+from disentangled_multimodal_learning_tpu.train.trainers import run_training
+
+
+def tiny_cfg(mode, task="diag2021", **kw):
+    label_dim = {"diag2021": 4, "survival": 4, "grade": 3, "subtype": 3}[task]
+    base = dict(mode=mode, task_type=task, label_dim=label_dim, fixdim=64,
+                batch_size=2, epochs=1, eval_during_training=False,
+                checkpoints="#", debug=True, seed=0)
+    base.update(kw)
+    return Config(**base).validate()
+
+
+def tiny_loaders(cfg, n_train=4, n_test=4):
+    train = SyntheticBagDataset(size=n_train, fixdim=cfg.fixdim,
+                                label_dim=cfg.label_dim, seed=1, args=cfg)
+    test = SyntheticBagDataset(size=n_test, fixdim=cfg.fixdim,
+                               label_dim=cfg.label_dim, seed=2, args=cfg)
+    return (BagLoader(train, cfg.batch_size, seed=0),
+            BagLoader(test, cfg.batch_size, shuffle=False, drop_last=False))
+
+
+@pytest.mark.parametrize("mode", ["teacher", "student", "deformpathomic"])
+def test_train_one_epoch_flagship(mode):
+    cfg = tiny_cfg(mode)
+    model = define_net(cfg)
+    state, metrics, ckpt = run_training(cfg, model, tiny_loaders(cfg))
+    assert np.isfinite(metrics["auc"])
+    assert 0.0 <= metrics["acc"] <= 1.0
+    assert ckpt is None  # checkpoints disabled
+    assert int(state.step) == 2  # 4 samples / batch 2 = 2 steps
+
+
+def test_train_survival_teacher():
+    cfg = tiny_cfg("teacher", task="survival")
+    model = define_net(cfg)
+    state, metrics, _ = run_training(cfg, model, tiny_loaders(cfg))
+    assert 0.0 <= metrics["cindex"] <= 1.0
+
+
+def test_train_distillation():
+    cfg = tiny_cfg("distillation")
+    student, teacher = define_net(cfg)
+    loaders = tiny_loaders(cfg)
+    from disentangled_multimodal_learning_tpu.train.optim import make_optimizer
+    from disentangled_multimodal_learning_tpu.train.trainers import (
+        init_model_state, trainDistillation)
+
+    tx = make_optimizer(cfg, 2)
+    sample = next(iter(loaders[0]))
+    teacher_state = init_model_state(teacher, cfg, sample, tx, seed=7)
+    teacher_vars = {"params": teacher_state.params, "batch_stats": None}
+    state, metrics, _ = trainDistillation(student, teacher, loaders, None, None,
+                                          None, cfg, teacher_vars=teacher_vars)
+    assert np.isfinite(metrics["auc"])
+
+
+@pytest.mark.parametrize("mode", ["path", "omic", "pathomic", "mcat"])
+def test_train_baselines(mode):
+    task = "survival" if mode == "mcat" else "grade"
+    cfg = tiny_cfg(mode, task=task)
+    model = define_net(cfg)
+    state, metrics, _ = run_training(cfg, model, tiny_loaders(cfg))
+    key = "cindex" if task == "survival" else "auc"
+    assert np.isfinite(metrics[key])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_cfg("student", checkpoints=str(tmp_path))
+    model = define_net(cfg)
+    state, metrics, ckpt = run_training(cfg, model, tiny_loaders(cfg))
+    assert ckpt is not None and ckpt.endswith(".ckpt")
+    # metric-stamped name convention
+    assert "fold_1_epoch_1_AUC_" in ckpt
+
+    from disentangled_multimodal_learning_tpu.train.optim import make_optimizer
+    from disentangled_multimodal_learning_tpu.train.trainers import init_model_state
+    from disentangled_multimodal_learning_tpu.utils.checkpoint import restore_state
+
+    loaders = tiny_loaders(cfg)
+    tx = make_optimizer(cfg, 2)
+    fresh = init_model_state(model, cfg, next(iter(loaders[0])), tx, seed=99)
+    restored = restore_state(fresh, ckpt)
+    import jax
+
+    a = jax.tree_util.tree_leaves(restored.params)
+    b = jax.tree_util.tree_leaves(state.params)
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+    assert int(restored.step) == int(state.step)
+
+
+def test_training_reduces_loss():
+    """Learnable synthetic labels: loss after several steps < first-step loss."""
+    import jax
+
+    from disentangled_multimodal_learning_tpu.train.optim import make_optimizer
+    from disentangled_multimodal_learning_tpu.train.steps import (
+        batch_to_arrays, make_train_step)
+    from disentangled_multimodal_learning_tpu.train.trainers import init_model_state
+
+    cfg = tiny_cfg("path", lr=1e-3, epochs=4, gradient_modulate=False)
+    train_loader, _ = tiny_loaders(cfg, n_train=8)
+    model = define_net(cfg)
+    tx = make_optimizer(cfg, len(train_loader))
+    state = init_model_state(model, cfg, next(iter(train_loader)), tx)
+    step = jax.jit(make_train_step(model, cfg, tx))
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for epoch in range(4):
+        train_loader.set_epoch(epoch)
+        for batch in train_loader:
+            rng, k = jax.random.split(rng)
+            state, m = step(state, batch_to_arrays(batch), k, None)
+            losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
