@@ -12,6 +12,15 @@ operation count: per scale, 2 deformable attentions materialize
 (~0.5 TFLOP/bag fwd+bwd, plus ~6 GB of f32 activation traffic/bag —
 bandwidth-bound on A100 at ~1.5 TB/s => ~25 bags/s optimistic).  Replace with
 a measured number when A100 hardware is available.
+
+Profile notes (v5e, B=8, fixdim=2500): the step is entirely dominated by the
+4 deformable cross-attentions (stubbing them: 167 ms -> 3.9 ms), and within
+them by the SwinV2 CPB bias MLP, which is HBM-bandwidth-bound in XLA
+(~3 GB/layer hidden activations; bf16 + remat applied).  Two fused Pallas
+kernels exist in ops/pallas/deform_attn.py (fully-fused attention+CPB, and a
+flat CPB-bias kernel) — both numerically golden-tested, but currently slower
+than XLA's schedule due to Mosaic relayout costs on the (T,K)<->(K,HID)
+layout boundary; they are kept as tested experimental kernels.
 """
 
 from __future__ import annotations
@@ -25,8 +34,8 @@ REF_A100_BAGS_PER_SEC = 25.0  # estimate — see module docstring
 
 BATCH = 8
 FIXDIM = 2500
-WARMUP = 2
-ITERS = 10
+WARMUP = 3
+ITERS = 50  # chained asynchronously; one host readback at the end
 
 
 def main():
@@ -54,18 +63,31 @@ def main():
     state = init_model_state(model, cfg, batch, tx)
     step = jax.jit(make_train_step(model, cfg, tx), donate_argnums=(0,))
 
+    # Timing on the tunneled `axon` backend: block_until_ready does NOT fence
+    # remote execution; only a host readback does, and each readback costs a
+    # ~28 ms HTTP roundtrip.  So: enqueue ITERS dependent steps (state-carry
+    # forces device-sequential execution), fence ONCE via a scalar readback,
+    # and subtract the measured empty-roundtrip latency.
     rng = jax.random.PRNGKey(0)
+
+    def fence(s):
+        return float(jax.tree_util.tree_leaves(s.params)[0].sum())
+
     for _ in range(WARMUP):
         rng, k = jax.random.split(rng)
         state, m = step(state, arrays, k, None)
-    jax.block_until_ready(state.params)
+    fence(state)
+
+    t0 = time.perf_counter()
+    fence(state)
+    roundtrip = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         rng, k = jax.random.split(rng)
         state, m = step(state, arrays, k, None)
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
+    fence(state)
+    dt = max(time.perf_counter() - t0 - roundtrip, 1e-6)
 
     bags_per_sec = BATCH * ITERS / dt
     print(json.dumps({

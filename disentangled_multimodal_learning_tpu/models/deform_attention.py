@@ -65,22 +65,32 @@ class GroupedPointwise(nn.Module):
 class _CPBBias(nn.Module):
     """Inner CPB computation — wrapped in nn.remat by :class:`CPB` so the
     ``[B*G, Nq, Nk, dim]`` MLP hiddens are recomputed in the backward pass
-    instead of living in HBM."""
+    instead of living in HBM.
+
+    The hiddens are ~3 GB/layer at production shapes (64 x 2500 x 144 x 32
+    f32) and the MLP is HBM-bandwidth-bound; computing it in bfloat16
+    (params stay f32) halves the traffic.  The bias feeds a softmax whose
+    inputs are shifted by their row max, so bf16 bias precision (~2^-8
+    relative) is far below the attention's own noise floor."""
 
     dim: int
     depth: int
     out_per_group: int
     log_distance: bool
+    compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, grid_q: jnp.ndarray, grid_kv: jnp.ndarray) -> jnp.ndarray:
         pos = grid_q[None, :, None, :] - grid_kv[:, None, :, :]  # [B*G,Nq,Nk,P]
         if self.log_distance:
             pos = jnp.sign(pos) * jnp.log(jnp.abs(pos) + 1.0)
-        h = pos
+        h = pos.astype(self.compute_dtype)
         for i in range(self.depth):
-            h = nn.relu(nn.Dense(self.dim, name=f"mlp_{i}")(h))
-        return nn.Dense(self.out_per_group, name="mlp_out")(h)
+            h = nn.relu(nn.Dense(self.dim, dtype=self.compute_dtype,
+                                 name=f"mlp_{i}")(h))
+        out = nn.Dense(self.out_per_group, dtype=self.compute_dtype,
+                       name="mlp_out")(h)
+        return out.astype(jnp.float32)
 
 
 class CPB(nn.Module):

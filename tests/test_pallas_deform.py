@@ -1,0 +1,131 @@
+"""Golden tests for the fused deformable-attention Pallas kernel
+(interpret mode on CPU) against the jnp reference implementation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from disentangled_multimodal_learning_tpu.ops.pallas.deform_attn import (
+    HID,
+    deform_attention_reference,
+    fused_deform_attention,
+)
+
+
+def make_inputs(rng, BH=4, N=40, K=12, D=16):
+    q = rng.normal(size=(BH, N, D)).astype(np.float32) * D ** -0.5
+    k = rng.normal(size=(BH, K, D)).astype(np.float32)
+    v = rng.normal(size=(BH, K, D)).astype(np.float32)
+    gq = rng.uniform(-1, 1, size=(N, 2)).astype(np.float32)
+    gkv = rng.uniform(-1.2, 1.2, size=(BH, K, 2)).astype(np.float32)
+    w1 = rng.normal(size=(2, HID)).astype(np.float32) * 0.5
+    b1 = rng.normal(size=(HID,)).astype(np.float32) * 0.1
+    w2 = rng.normal(size=(HID, HID)).astype(np.float32) * 0.2
+    b2 = rng.normal(size=(HID,)).astype(np.float32) * 0.1
+    w3 = rng.normal(size=(HID, 1)).astype(np.float32) * 0.3
+    b3 = rng.normal(size=(1,)).astype(np.float32) * 0.1
+    return tuple(map(jnp.asarray, (q, k, v, gq, gkv, w1, b1, w2, b2, w3, b3)))
+
+
+def test_fused_forward_matches_reference(rng):
+    args = make_inputs(rng)
+    out, attn = fused_deform_attention(*args, 0.0, 0.0, 16, True)
+    ref_out, ref_attn = deform_attention_reference(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(attn), np.asarray(ref_attn),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_fused_forward_nondivisible_tile(rng):
+    # N=40 with tile=16 -> padded to 48; outputs must crop correctly
+    args = make_inputs(rng, N=40)
+    out, attn = fused_deform_attention(*args, 0.0, 0.0, 16, True)
+    assert out.shape == (4, 40, 16)
+    assert attn.shape == (4, 40, 12)
+    rows = np.asarray(attn.sum(-1))
+    np.testing.assert_allclose(rows, 1.0, atol=1e-5)
+
+
+def test_fused_gradients_match_reference(rng):
+    args = make_inputs(rng, BH=2, N=24, K=8, D=8)
+
+    def loss_fused(q, k, v, gkv, w1, b1, w2, b2, w3, b3):
+        out, attn = fused_deform_attention(q, k, v, args[3], gkv, w1, b1, w2,
+                                           b2, w3, b3, 0.0, 0.0, 8, True)
+        return jnp.sum(out ** 2) + jnp.sum(jnp.sin(attn))
+
+    def loss_ref(q, k, v, gkv, w1, b1, w2, b2, w3, b3):
+        out, attn = deform_attention_reference(q, k, v, args[3], gkv, w1, b1,
+                                               w2, b2, w3, b3)
+        return jnp.sum(out ** 2) + jnp.sum(jnp.sin(attn))
+
+    diff_args = args[:3] + args[4:]
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(10)))(*diff_args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(10)))(*diff_args)
+    names = ["q", "k", "v", "gkv", "w1", "b1", "w2", "b2", "w3", "b3"]
+    for n, a, b in zip(names, g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   rtol=1e-3, err_msg=f"grad mismatch: {n}")
+
+
+def test_fused_gradients_nondivisible_tile(rng):
+    """Padded query rows must not leak into dk/dv/dW/dgkv."""
+    args = make_inputs(rng, BH=2, N=20, K=8, D=8)
+
+    def loss(tile):
+        def f(q, k, v, gkv, w1, b1, w2, b2, w3, b3):
+            out, attn = fused_deform_attention(q, k, v, args[3], gkv, w1, b1,
+                                               w2, b2, w3, b3, 0.0, 0.0, tile,
+                                               True)
+            return jnp.sum(out ** 2) + jnp.sum(attn ** 2)
+        return f
+
+    diff_args = args[:3] + args[4:]
+    g_pad = jax.grad(loss(8), argnums=tuple(range(10)))(*diff_args)   # 20->24
+    g_exact = jax.grad(loss(4), argnums=tuple(range(10)))(*diff_args)  # 20=5x4
+    for a, b in zip(g_pad, g_exact):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   rtol=1e-3)
+
+
+# ------------------------------------------------------- flat CPB bias kernel
+def _cpb_ref(grid_q, grid_kv, w1, b1, w2, b2, w3, b3):
+    import jax
+    pos = grid_q[None, :, None, :] - grid_kv[:, None, :, :]
+    pos = jnp.sign(pos) * jnp.log1p(jnp.abs(pos))
+    h1 = jax.nn.relu(pos @ w1 + b1)
+    h2 = jax.nn.relu(h1 @ w2 + b2)
+    return (h2 @ w3 + b3)[..., 0]
+
+
+def test_cpb_bias_flat_forward_matches_reference(rng):
+    from disentangled_multimodal_learning_tpu.ops.pallas.deform_attn import cpb_bias
+
+    q, k, v, gq, gkv, w1, b1, w2, b2, w3, b3 = make_inputs(rng, BH=3, N=40, K=12)
+    got = cpb_bias(gq, gkv, w1, b1, w2, b2, w3, b3, chunk_t=16, interpret=True)
+    want = _cpb_ref(gq, gkv, w1, b1, w2, b2, w3, b3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5,
+                               rtol=1e-4)
+
+
+def test_cpb_bias_flat_grads_match_reference(rng):
+    from disentangled_multimodal_learning_tpu.ops.pallas.deform_attn import cpb_bias
+
+    q, k, v, gq, gkv, w1, b1, w2, b2, w3, b3 = make_inputs(rng, BH=2, N=24, K=8)
+
+    def loss_fused(gkv, w1, b1, w2, b2, w3, b3):
+        b = cpb_bias(gq, gkv, w1, b1, w2, b2, w3, b3, chunk_t=8, interpret=True)
+        return jnp.sum(jnp.sin(b) * b)
+
+    def loss_ref(gkv, w1, b1, w2, b2, w3, b3):
+        b = _cpb_ref(gq, gkv, w1, b1, w2, b2, w3, b3)
+        return jnp.sum(jnp.sin(b) * b)
+
+    args = (gkv, w1, b1, w2, b2, w3, b3)
+    gf = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    for n, a, b in zip(["gkv", "w1", "b1", "w2", "b2", "w3", "b3"], gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   rtol=1e-3, err_msg=f"cpb grad {n}")
