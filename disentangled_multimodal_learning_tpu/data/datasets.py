@@ -107,14 +107,10 @@ class _CohortDataset:
         return len(self.df)
 
     def _load_bag(self, subdir, wsi_id) -> np.ndarray:
+        from .native_io import load_bag
+
         fp = os.path.join(self.root, subdir, f"{wsi_id}.npy")
-        feats = np.load(fp).astype(np.float32)
-        n = feats.shape[0]
-        if n >= self.fixdim:
-            return feats[: self.fixdim]
-        out = np.zeros((self.fixdim, self.path_dim), dtype=np.float32)
-        out[:n] = feats
-        return out
+        return load_bag(fp, self.fixdim, self.path_dim)
 
     def _label_row(self, row) -> np.ndarray:
         lab = np.zeros(NUM_LABEL_COLUMNS, dtype=np.int32)
@@ -169,9 +165,23 @@ class _CohortDataset:
         return self.df["patient_id"].to_numpy()
 
     def batch(self, indices) -> Batch:
-        items = [self.__getitem__(i)[:6] for i in indices]
-        cols = [np.stack([it[j] for it in items]) for j in range(6)]
-        return Batch(*cols, wsi_id=np.array([self.wsi_id(i) for i in indices]))
+        """Assemble a batch; bag IO goes through the native threaded loader
+        (native/dmlt_io.cpp) when available."""
+        from .native_io import load_bag_batch
+
+        rows = [self.df.iloc[i] for i in indices]
+        ids = [str(r["WSI_ID"]) for r in rows]
+        x10 = load_bag_batch(
+            [os.path.join(self.root, "feats10", f"{w}.npy") for w in ids],
+            self.fixdim, self.path_dim)
+        x20 = load_bag_batch(
+            [os.path.join(self.root, "feats20", f"{w}.npy") for w in ids],
+            self.fixdim, self.path_dim)
+        omic = np.stack([r[self.gene_cols].to_numpy(dtype=np.float32) for r in rows])
+        tum = np.stack([r[self.tumor_cols].to_numpy(dtype=np.float32) for r in rows])
+        imm = np.stack([r[self.immune_cols].to_numpy(dtype=np.float32) for r in rows])
+        labels = np.stack([self._label_row(r) for r in rows])
+        return Batch(x10, x20, omic, tum, imm, labels, wsi_id=np.array(ids))
 
 
 class TCGA_Dataset(_CohortDataset):

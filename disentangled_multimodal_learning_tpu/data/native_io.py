@@ -1,0 +1,105 @@
+"""ctypes bindings for the native C++ bag loader (native/dmlt_io.cpp).
+
+Compiled on demand with g++ into a cached shared object; every entry point
+has a numpy fallback with identical semantics, so the framework runs without
+a toolchain (``DMLT_NO_NATIVE=1`` forces the fallback)."""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_lock = threading.Lock()
+_lib = None
+_lib_tried = False
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native", "dmlt_io.cpp")
+
+
+def _build_dir() -> str:
+    d = os.environ.get("DMLT_NATIVE_CACHE",
+                       os.path.join(os.path.expanduser("~"), ".cache", "dmlt"))
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _load_library():
+    global _lib, _lib_tried
+    with _lock:
+        if _lib_tried:
+            return _lib
+        _lib_tried = True
+        if os.environ.get("DMLT_NO_NATIVE") or not os.path.exists(_SRC):
+            return None
+        try:
+            with open(_SRC, "rb") as f:
+                digest = hashlib.sha256(f.read()).hexdigest()[:16]
+            so_path = os.path.join(_build_dir(), f"dmlt_io_{digest}.so")
+            if not os.path.exists(so_path):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     "-o", so_path, _SRC, "-lpthread"],
+                    check=True, capture_output=True)
+            lib = ctypes.CDLL(so_path)
+            lib.dmlt_load_bag.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.c_int64]
+            lib.dmlt_load_bag.restype = ctypes.c_int
+            lib.dmlt_load_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int]
+            lib.dmlt_load_batch.restype = ctypes.c_int
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def native_available() -> bool:
+    return _load_library() is not None
+
+
+def _numpy_load_bag(path: str, fixdim: int, feat_dim: int) -> np.ndarray:
+    feats = np.load(path).astype(np.float32)
+    out = np.zeros((fixdim, feat_dim), dtype=np.float32)
+    n = min(feats.shape[0], fixdim)
+    out[:n] = feats[:n]
+    return out
+
+
+def load_bag(path: str, fixdim: int, feat_dim: int) -> np.ndarray:
+    """Load one .npy bag, zero-padded/truncated to [fixdim, feat_dim]."""
+    lib = _load_library()
+    if lib is None:
+        return _numpy_load_bag(path, fixdim, feat_dim)
+    out = np.zeros((fixdim, feat_dim), dtype=np.float32)
+    rc = lib.dmlt_load_bag(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        fixdim, feat_dim)
+    if rc != 0:
+        return _numpy_load_bag(path, fixdim, feat_dim)
+    return out
+
+
+def load_bag_batch(paths, fixdim: int, feat_dim: int,
+                   n_threads: int = 8) -> np.ndarray:
+    """Load a batch of .npy bags in parallel -> [len(paths), fixdim, feat_dim]."""
+    lib = _load_library()
+    n = len(paths)
+    if lib is None:
+        return np.stack([_numpy_load_bag(p, fixdim, feat_dim) for p in paths])
+    out = np.zeros((n, fixdim, feat_dim), dtype=np.float32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    rc = lib.dmlt_load_batch(
+        arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        fixdim, feat_dim, n_threads)
+    if rc != 0:
+        return np.stack([_numpy_load_bag(p, fixdim, feat_dim) for p in paths])
+    return out

@@ -63,7 +63,31 @@ class Evaluator:
             vals = compute_avg_metrics(y, probs)
             for n, v in zip(names, vals):
                 dicts[n][f"{n}_{t}"] = v
+            if getattr(cfg, "save4roc", False):
+                import os
+
+                os.makedirs(cfg.checkpoints if cfg.checkpoints != "#" else ".",
+                            exist_ok=True)
+                base = cfg.checkpoints if cfg.checkpoints != "#" else "."
+                save_roc_csv(os.path.join(base, f"roc_{t}_fold{cfg.cur_fold}.csv"),
+                             y, probs)
         return tuple(dicts[n] for n in names)
+
+    def export_attention_maps(self, state, loader, path: str):
+        """Attention-heatmap export (reference train_test.py:1121-1177):
+        per-head max then mean over kv positions, saved with wsi ids."""
+        maps, ids = [], []
+        for batch in loader:
+            arrays = batch_to_arrays(batch)
+            out = self.step(state.params, state.batch_stats, arrays)
+            att_dict = out[1]
+            key = sorted(att_dict.keys())[0]
+            att = np.asarray(att_dict[key])  # [B, H, N, K]
+            maps.append(att.max(axis=1).mean(axis=-1))  # [B, N]
+            if batch.wsi_id is not None:
+                ids.extend(list(batch.wsi_id))
+        np.savez(path, attention=np.concatenate(maps), wsi_ids=np.asarray(ids))
+        return path
 
     # -- deformpathomic / pathomic family: metrics on fused logits[2]
     # (epochVal / epochBaselineModelVal, utils/metrics.py:496-661)

@@ -184,6 +184,32 @@ def make_train_step(model, cfg, tx: optax.GradientTransformation,
                 metrics["batchloss"] = L.path_batch_loss(
                     att_s["att_stu10"], att_s["att_stu20"])
 
+        elif mode == "multiscale":
+            # joint two-scale teacher+student training.  The reference defines
+            # MultiScaleNet (models/model.py:606-706) but never dispatches a
+            # trainer for it (main.py:209-220 covers only 4 modes); the loss
+            # here is the natural union of the teacher and student trainers:
+            # task losses on all four logits + both attention-consistency
+            # losses.
+            _, att_dict, logits_dict, hazards_dict, S_dict, _ = out
+            taskloss = (_task_loss_from_dicts(task, label, logits_dict,
+                                              hazards_dict, S_dict,
+                                              "logits_tea10", "logits_tea20", cw)
+                        + _task_loss_from_dicts(task, label, logits_dict,
+                                                hazards_dict, S_dict,
+                                                "logits_stu10", "logits_stu20",
+                                                cw))
+            loss = taskloss
+            metrics["taskloss"] = taskloss
+            if multiscale_attention:
+                batchloss = (L.omic_domain_scale_loss(
+                    att_dict["att1_tea10"], att_dict["att1_tea20"],
+                    att_dict["att2_tea10"], att_dict["att2_tea20"])
+                    + 1000.0 * L.path_batch_loss(att_dict["att_stu10"],
+                                                 att_dict["att_stu20"]))
+                loss = loss + batchloss
+                metrics["batchloss"] = batchloss
+
         elif mode == "deformpathomic":
             features, vec_t, vec_i, logits, *_ = out
             fused = logits[2]
