@@ -30,7 +30,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.grid_sample import grid_sample_1d, grid_sample_1d_torchtrick, grid_sample_2d
+from ..ops.grid_sample import (grid_sample_1d, grid_sample_1d_matmul,
+                               grid_sample_1d_torchtrick, grid_sample_2d,
+                               grid_sample_2d_matmul)
 
 
 class Scale(nn.Module):
@@ -224,7 +226,9 @@ class DeformCrossAttention2D(nn.Module):
         x2g = x2.reshape(B, side, side, G, C // G).transpose(0, 3, 1, 2, 4)
         x2g = x2g.reshape(B * G, side, side, C // G)
         pts = vgrid_scaled.reshape(B * G, gh * gw, 2)
-        kv = grid_sample_2d(x2g, pts)  # [B*G, K, C//G]
+        # matmul formulation: identical values, scatter-free backward (the
+        # gather version's scatter-add lowers to while-loops on TPU)
+        kv = grid_sample_2d_matmul(x2g, pts)  # [B*G, K, C//G]
         K = gh * gw
         kv = kv.reshape(B, G, K, C // G).transpose(0, 2, 1, 3).reshape(B, K, C)
 
@@ -311,7 +315,8 @@ class DeformCrossAttention1D(nn.Module):
         vgrid_scaled = 2.0 * vgrid / max(n_ds - 1, 1) - 1.0
 
         x2g = x2.reshape(B, N, G, C // G).transpose(0, 2, 1, 3).reshape(B * G, N, C // G)
-        sampler = grid_sample_1d_torchtrick if self.degenerate_sampling else grid_sample_1d
+        sampler = (grid_sample_1d_torchtrick if self.degenerate_sampling
+                   else grid_sample_1d_matmul)
         kv = sampler(x2g, vgrid_scaled)  # [B*G, n_ds, C//G]
         kv = kv.reshape(B, G, n_ds, C // G).transpose(0, 2, 1, 3).reshape(B, n_ds, C)
 

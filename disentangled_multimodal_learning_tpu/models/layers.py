@@ -328,3 +328,51 @@ def survival_chain(logits: jnp.ndarray):
     S = jnp.cumprod(1.0 - hazards, axis=1)
     risk = -jnp.sum(S, axis=1)
     return hazards, S, risk
+
+
+class FeedForward(nn.Module):
+    """GELU MLP block (reference models/NystromAttention.py:171-182)."""
+
+    dim: int
+    mult: int = 4
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.Dense(self.dim * self.mult, name="net_0")(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return nn.Dense(self.dim, name="net_2")(h)
+
+
+class Nystromformer(nn.Module):
+    """Full pre-norm Nystrom transformer stack
+    (reference models/NystromAttention.py:184-212)."""
+
+    dim: int
+    depth: int
+    dim_head: int = 64
+    heads: int = 8
+    num_landmarks: int = 256
+    pinv_iterations: int = 6
+    attn_values_residual: bool = True
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        for i in range(self.depth):
+            y = nn.LayerNorm(name=f"attn_norm_{i}")(x)
+            y = NystromAttention(
+                dim=self.dim, dim_head=self.dim_head, heads=self.heads,
+                num_landmarks=self.num_landmarks,
+                pinv_iterations=self.pinv_iterations,
+                residual=self.attn_values_residual,
+                dropout=self.attn_dropout, name=f"attn_{i}",
+            )(y, deterministic=deterministic)
+            x = x + y
+            y = nn.LayerNorm(name=f"ff_norm_{i}")(x)
+            y = FeedForward(self.dim, dropout=self.ff_dropout,
+                            name=f"ff_{i}")(y, deterministic=deterministic)
+            x = x + y
+        return x

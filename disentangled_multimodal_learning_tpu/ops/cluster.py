@@ -143,3 +143,13 @@ def cluster_merge(
         jax.lax.stop_gradient(x), cluster_num, k=k, key=key, density_noise=density_noise
     )
     return merge_tokens(x, idx_cluster, cluster_num, token_weight)
+
+
+def gene_guided_cluster(x: jnp.ndarray, omic1: jnp.ndarray,
+                        omic2: jnp.ndarray) -> jnp.ndarray:
+    """Gene-guided 2-way token assignment: each token joins the omic stream
+    (tumor/immune) with the smaller mean distance
+    (reference models/ClusterMergeNet.py:9-46)."""
+    d1 = jnp.mean(pairwise_dist(x, omic1), axis=-1)
+    d2 = jnp.mean(pairwise_dist(x, omic2), axis=-1)
+    return (d1 > d2).astype(jnp.int32)

@@ -217,3 +217,38 @@ def low_rank_loss(x: jnp.ndarray) -> jnp.ndarray:
     """Sum of all singular values but the largest (reference utils/loss.py:67-74)."""
     s = jnp.linalg.svd(x, compute_uv=False)
     return jnp.sum(s[1:])
+
+
+# ------------------------------------------------- misc reference utilities
+
+def sigmoid_rampup(current: float, rampup_length: float) -> float:
+    """Exponential rampup for mean-teacher style schedules
+    (reference utils/utils.py:21-28)."""
+    import numpy as _np
+
+    if rampup_length == 0:
+        return 1.0
+    current = float(_np.clip(current, 0.0, rampup_length))
+    phase = 1.0 - current / rampup_length
+    return float(_np.exp(-5.0 * phase * phase))
+
+
+def l1_regularizer(params) -> jnp.ndarray:
+    """Sum of |W| over a params pytree (reference regularize_weights,
+    utils/utils.py:34-42; the module-targeted variants reduce to applying
+    this to a subtree)."""
+    import jax as _jax
+
+    leaves = _jax.tree_util.tree_leaves(params)
+    return sum(jnp.sum(jnp.abs(l)) for l in leaves)
+
+
+def directional_consistency_loss(m: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """(|mean sign of row delta| - 1)^2 over non-tied entries
+    (reference utils/loss.py:147-180)."""
+    diff = m[0] - m[1]
+    nz = (jnp.abs(diff) > eps).astype(diff.dtype)
+    n_nz = jnp.sum(nz)
+    signs = jnp.sign(diff) * nz
+    x = jnp.where(n_nz > 0, jnp.sum(signs) / jnp.maximum(n_nz, 1.0), 0.0)
+    return (jnp.abs(x) - 1.0) ** 2

@@ -165,3 +165,62 @@ def cindex(all_risk_scores, all_censorships, all_event_times) -> float:
     return concordance_index_censored(
         (1 - np.asarray(all_censorships)).astype(bool),
         all_event_times, all_risk_scores)
+
+
+def make_one_hot(data: np.ndarray, n: int = 0) -> np.ndarray:
+    """reference utils/metrics.py:12-17."""
+    num = n if n else int(np.max(data) + 1)
+    return (np.arange(num) == np.asarray(data)[:, None]).astype(np.int16)
+
+
+def compute_confusion_matrix(ground_truth, activations, labels) -> np.ndarray:
+    """reference utils/metrics.py:87-94."""
+    y = np.asarray(ground_truth).astype(np.int64)
+    pred = np.asarray(activations).argmax(-1)
+    n = len(labels)
+    cm = np.zeros((n, n), dtype=np.int64)
+    index = {int(l): i for i, l in enumerate(labels)}
+    for t, p in zip(y, pred):
+        if int(t) in index and int(p) in index:
+            cm[index[int(t)], index[int(p)]] += 1
+    return cm
+
+
+def compute_avg_metrics_micro(ground_truth, activations):
+    """Micro-averaged variant (reference utils/metrics.py:19-65)."""
+    y = np.asarray(ground_truth).astype(np.int64)
+    probs = np.asarray(activations, dtype=np.float64)
+    pred = probs.argmax(-1)
+    n_classes = probs.shape[1]
+    acc = float((pred == y).mean())
+    onehot = make_one_hot(y, n=n_classes).ravel()
+    auc = _auc_binary(onehot, probs.ravel())
+    cm = _confusion(y, pred, n_classes)
+    tp = np.diag(cm).sum()
+    fp = cm.sum() - tp
+    # micro precision == micro recall == micro F1 == accuracy (multi-class)
+    prec = rec = f1 = tp / max(cm.sum(), 1)
+    total = cm.sum()
+    tn_sum = fp_sum = 0
+    for k in range(n_classes):
+        tpk = cm[k, k]
+        fpk = cm[:, k].sum() - tpk
+        fnk = cm[k, :].sum() - tpk
+        tn_sum += total - tpk - fpk - fnk
+        fp_sum += fpk
+    spec = tn_sum / max(tn_sum + fp_sum, 1)
+    try:
+        from sklearn.metrics import balanced_accuracy_score
+
+        bac = balanced_accuracy_score(y, pred)
+    except ImportError:
+        recs = [cm[k, k] / cm[k].sum() for k in range(n_classes) if cm[k].sum()]
+        bac = float(np.mean(recs))
+    return acc, f1, auc, bac, rec, spec, prec
+
+
+def cindex_lifelines(hazards, event_all, survtime_all) -> float:
+    """CIndex_lifeline equivalent (reference utils/utils.py:312-313):
+    concordance of -hazards as predicted scores with observed events."""
+    return concordance_index_censored(np.asarray(event_all).astype(bool),
+                                      survtime_all, np.asarray(hazards))

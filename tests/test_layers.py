@@ -137,3 +137,14 @@ def test_pooler_and_fusionnet_shapes(rng):
     v = fus.init(jax.random.PRNGKey(0), x, x)
     out = fus.apply(v, x, x)
     assert out.shape == (2, 10, 16)
+
+
+def test_nystromformer_stack(rng):
+    from disentangled_multimodal_learning_tpu.models.layers import Nystromformer
+
+    x = jnp.asarray(rng.normal(size=(2, 40, 32)).astype(np.float32))
+    m = Nystromformer(dim=32, depth=2, dim_head=8, heads=4, num_landmarks=8)
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()

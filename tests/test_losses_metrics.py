@@ -234,3 +234,49 @@ def test_cindex_matches_lifelines_formula(rng):
                     conc += 1
     want = (conc + 0.5 * ties) / comp
     assert abs(M.cindex(r, c, t) - want) < 1e-12
+
+
+def test_micro_metrics_and_confusion(rng):
+    sk = pytest.importorskip("sklearn.metrics")
+    y = rng.integers(0, 3, size=40)
+    logits = rng.normal(size=(40, 3))
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    acc, f1, auc, bac, sens, spec, prec = M.compute_avg_metrics_micro(y, probs)
+    pred = probs.argmax(-1)
+    assert abs(acc - sk.accuracy_score(y, pred)) < 1e-12
+    assert abs(f1 - sk.f1_score(y, pred, average="micro")) < 1e-12
+    assert abs(prec - sk.precision_score(y, pred, average="micro")) < 1e-12
+    # micro auc via raveled one-hot
+    oh = M.make_one_hot(y, 3).ravel()
+    assert abs(auc - sk.roc_auc_score(oh, probs.ravel())) < 1e-9
+    cm = M.compute_confusion_matrix(y, probs, labels=[0, 1, 2])
+    np.testing.assert_array_equal(cm, sk.confusion_matrix(y, pred, labels=[0, 1, 2]))
+
+
+def test_sigmoid_rampup_and_l1():
+    assert L.sigmoid_rampup(0, 10) == pytest.approx(np.exp(-5.0))
+    assert L.sigmoid_rampup(10, 10) == 1.0
+    assert L.sigmoid_rampup(5, 0) == 1.0
+    params = {"a": jnp.asarray([-1.0, 2.0]), "b": {"c": jnp.asarray([[3.0]])}}
+    assert float(L.l1_regularizer(params)) == 6.0
+
+
+def test_directional_consistency_loss(rng):
+    m = jnp.asarray(np.array([[1.0, 2.0, 3.0], [0.0, 1.0, 2.0]], np.float32))
+    # all diffs positive -> mean sign 1 -> loss 0
+    assert float(L.directional_consistency_loss(m)) == pytest.approx(0.0)
+    m2 = jnp.asarray(np.array([[1.0, 0.0], [0.0, 1.0]], np.float32))
+    # signs +1, -1 -> mean 0 -> loss 1
+    assert float(L.directional_consistency_loss(m2)) == pytest.approx(1.0)
+
+
+def test_gene_guided_cluster(rng):
+    from disentangled_multimodal_learning_tpu.ops.cluster import gene_guided_cluster
+
+    x = jnp.asarray(rng.normal(size=(1, 6, 4)).astype(np.float32))
+    near = x + 0.01
+    far = x + 100.0
+    idx = np.asarray(gene_guided_cluster(x, near, far))
+    np.testing.assert_array_equal(idx, np.zeros((1, 6)))
+    idx2 = np.asarray(gene_guided_cluster(x, far, near))
+    np.testing.assert_array_equal(idx2, np.ones((1, 6)))

@@ -238,3 +238,27 @@ def test_merge_tokens_is_differentiable():
     g = jax.grad(f)(x)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_grid_sample_matmul_matches_gather(rng):
+    from disentangled_multimodal_learning_tpu.ops.grid_sample import (
+        grid_sample_1d_matmul, grid_sample_2d_matmul)
+
+    feats = rng.normal(size=(2, 6, 6, 5)).astype(np.float32)
+    pts = rng.uniform(-1.2, 1.2, size=(2, 9, 2)).astype(np.float32)
+    a = np.asarray(grid_sample_2d(jnp.asarray(feats), jnp.asarray(pts)))
+    b = np.asarray(grid_sample_2d_matmul(jnp.asarray(feats), jnp.asarray(pts)))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    # gradients agree too
+    ga = jax.grad(lambda f, p: grid_sample_2d(f, p).sum(), argnums=(0, 1))(
+        jnp.asarray(feats), jnp.asarray(pts))
+    gb = jax.grad(lambda f, p: grid_sample_2d_matmul(f, p).sum(), argnums=(0, 1))(
+        jnp.asarray(feats), jnp.asarray(pts))
+    np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]), atol=1e-4)
+
+    f1 = rng.normal(size=(2, 7, 4)).astype(np.float32)
+    v1 = rng.uniform(-1.1, 1.1, size=(2, 5)).astype(np.float32)
+    a1 = np.asarray(grid_sample_1d(jnp.asarray(f1), jnp.asarray(v1)))
+    b1 = np.asarray(grid_sample_1d_matmul(jnp.asarray(f1), jnp.asarray(v1)))
+    np.testing.assert_allclose(a1, b1, atol=1e-5)
