@@ -32,10 +32,14 @@ import numpy as np
 
 REF_A100_BAGS_PER_SEC = 25.0  # estimate — see module docstring
 
-BATCH = 8
+BATCH = 4  # the reference teacher's batch size (config_mine_diag2021.yaml:51)
 FIXDIM = 2500
 WARMUP = 3
 ITERS = 50  # chained asynchronously; one host readback at the end
+# Throughput is HBM-bound and scales INVERSELY with batch on one chip
+# (B=1: 66, B=2: 54, B=4: 54-57, B=8: 50 bags/s) — B=4 is the
+# apples-to-apples reference operating point.  remat=False fits at B<=4 and
+# skips the CPB backward recompute.
 
 
 def main():
@@ -52,7 +56,8 @@ def main():
 
     cfg = Config(mode="teacher", task_type="diag2021", label_dim=4,
                  fixdim=FIXDIM, batch_size=BATCH, gradient_modulate=True,
-                 multiscale_attention=True, checkpoints="#", debug=True).validate()
+                 multiscale_attention=True, remat=False, checkpoints="#",
+                 debug=True).validate()
     ds = SyntheticBagDataset(size=BATCH, fixdim=FIXDIM, label_dim=4, seed=0,
                              args=cfg)
     batch = BagLoader(ds, BATCH, shuffle=False).__iter__().__next__()
@@ -91,7 +96,7 @@ def main():
 
     bags_per_sec = BATCH * ITERS / dt
     print(json.dumps({
-        "metric": "teacher_train_throughput_fixdim2500",
+        "metric": "teacher_train_bags_per_sec_fixdim2500_b4",
         "value": round(bags_per_sec, 3),
         "unit": "bags/sec/chip",
         "vs_baseline": round(bags_per_sec / REF_A100_BAGS_PER_SEC, 3),

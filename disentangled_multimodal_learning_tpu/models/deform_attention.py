@@ -35,6 +35,13 @@ from ..ops.grid_sample import (grid_sample_1d, grid_sample_1d_matmul,
                                grid_sample_2d_matmul)
 
 
+def _compute_dtype():
+    """bf16 on TPU (halves HBM traffic of the attention tensors; f32
+    accumulation); f32 elsewhere — the CPU backend cannot execute mixed
+    bf16 x bf16 -> f32 dots."""
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
 class Scale(nn.Module):
     scale: float
 
@@ -45,11 +52,13 @@ class Scale(nn.Module):
 class GroupedPointwise(nn.Module):
     """Grouped 1x1 conv as a block-diagonal einsum: ``[..., G*Ci] -> [..., G*Co]``
     (reference uses nn.Conv2d(dim, inner, 1, groups=G),
-    models/DeformableAttention2D.py:219-222)."""
+    models/DeformableAttention2D.py:219-222).  Computes in ``dtype`` (params
+    stay f32), accumulating in f32."""
 
     groups: int
     features: int  # total output features (G * Co)
     use_bias: bool = False
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -57,11 +66,19 @@ class GroupedPointwise(nn.Module):
         cin = x.shape[-1] // g
         cout = self.features // g
         w = self.param("kernel", nn.initializers.lecun_normal(), (g, cin, cout))
-        y = jnp.einsum("...gi,gio->...go", x.reshape(*x.shape[:-1], g, cin), w)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            w = w.astype(self.dtype)
+        y = jnp.einsum("...gi,gio->...go", x.reshape(*x.shape[:-1], g, cin), w,
+                       preferred_element_type=jnp.float32)
         y = y.reshape(*x.shape[:-1], self.features)
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros, (self.features,))
         return y
+
+
+# module-level remat switch for the CPB bias MLP (static at trace time)
+CPB_REMAT = True
 
 
 class _CPBBias(nn.Module):
@@ -79,19 +96,22 @@ class _CPBBias(nn.Module):
     depth: int
     out_per_group: int
     log_distance: bool
-    compute_dtype: jnp.dtype = jnp.bfloat16
+    compute_dtype: jnp.dtype | None = None  # None -> bf16 on TPU, f32 on CPU
 
     @nn.compact
     def __call__(self, grid_q: jnp.ndarray, grid_kv: jnp.ndarray) -> jnp.ndarray:
+        cdt = self.compute_dtype or _compute_dtype()
+        # cast BEFORE the [B*G, Nq, Nk, P] pos tensor materializes: in f32 it
+        # alone is ~370 MB/pass at production shapes
+        grid_q = grid_q.astype(cdt)
+        grid_kv = grid_kv.astype(cdt)
         pos = grid_q[None, :, None, :] - grid_kv[:, None, :, :]  # [B*G,Nq,Nk,P]
         if self.log_distance:
             pos = jnp.sign(pos) * jnp.log(jnp.abs(pos) + 1.0)
-        h = pos.astype(self.compute_dtype)
+        h = pos
         for i in range(self.depth):
-            h = nn.relu(nn.Dense(self.dim, dtype=self.compute_dtype,
-                                 name=f"mlp_{i}")(h))
-        out = nn.Dense(self.out_per_group, dtype=self.compute_dtype,
-                       name="mlp_out")(h)
+            h = nn.relu(nn.Dense(self.dim, dtype=cdt, name=f"mlp_{i}")(h))
+        out = nn.Dense(self.out_per_group, dtype=cdt, name="mlp_out")(h)
         return out.astype(jnp.float32)
 
 
@@ -115,7 +135,12 @@ class CPB(nn.Module):
         bg = grid_kv.shape[0]
         b = bg // self.offset_groups
         out_per_group = self.heads // self.offset_groups
-        bias = nn.remat(_CPBBias)(
+        # CPB_REMAT=False trades ~3 GB of stored bf16 hiddens per attention
+        # for skipping the backward recompute (+5% step throughput at B<=4;
+        # OOM risk at B>=8 with 4 attentions) — set via Config.remat through
+        # models.factory.define_net.
+        cls = nn.remat(_CPBBias) if CPB_REMAT else _CPBBias
+        bias = cls(
             self.dim, self.depth, out_per_group, self.log_distance, name="bias_mlp"
         )(grid_q, grid_kv)
         nq, nk = bias.shape[1], bias.shape[2]
@@ -200,7 +225,9 @@ class DeformCrossAttention2D(nn.Module):
         inner = self.dim_head * H
         od = inner // G  # offset-conv channel count per group
 
-        q = GroupedPointwise(G, inner, use_bias=False, name="to_q")(x1)  # [B,N,inner]
+        cdt = _compute_dtype()
+        q = GroupedPointwise(G, inner, use_bias=False, dtype=cdt,
+                             name="to_q")(x1)  # [B,N,inner]
 
         # ---- offsets from grouped queries --------------------------------
         qg = q.reshape(B, side, side, G, od).transpose(0, 3, 1, 2, 4)
@@ -232,10 +259,10 @@ class DeformCrossAttention2D(nn.Module):
         K = gh * gw
         kv = kv.reshape(B, G, K, C // G).transpose(0, 2, 1, 3).reshape(B, K, C)
 
-        k = GroupedPointwise(G, inner, use_bias=False, name="to_k")(kv)
-        v = GroupedPointwise(G, inner, use_bias=False, name="to_v")(kv)
+        k = GroupedPointwise(G, inner, use_bias=False, dtype=cdt, name="to_k")(kv)
+        v = GroupedPointwise(G, inner, use_bias=False, dtype=cdt, name="to_v")(kv)
 
-        # ---- attention ----------------------------------------------------
+        # ---- attention (bf16 operands, f32 accumulation/softmax) ----------
         scale = self.dim_head ** -0.5
 
         def split(t):
@@ -243,7 +270,8 @@ class DeformCrossAttention2D(nn.Module):
 
         qh = split(q) * scale
         kh, vh = split(k), split(v)
-        sim = jnp.einsum("bhid,bhjd->bhij", qh, kh)  # [B,H,N,K]
+        sim = jnp.einsum("bhid,bhjd->bhij", qh.astype(cdt), kh.astype(cdt),
+                         preferred_element_type=jnp.float32)  # [B,H,N,K]
 
         grid_full = create_grid_2d(side, side, dtype=x1.dtype)
         grid_q = normalize_grid_2d(grid_full).reshape(N, 2)
@@ -255,7 +283,8 @@ class DeformCrossAttention2D(nn.Module):
         attn_return = attn
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
 
-        out = jnp.einsum("bhij,bhjd->bhid", attn, vh)
+        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(cdt), vh.astype(cdt),
+                         preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
         out = nn.Dense(self.dim, use_bias=True, name="to_out")(out)
 

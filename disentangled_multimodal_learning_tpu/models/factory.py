@@ -20,6 +20,9 @@ from .teacher_student import MultiScaleNet, StudentsNet, TeachersNet
 
 def define_net(args):
     """args: Config (or any namespace with the reference YAML fields)."""
+    from . import deform_attention as _da
+
+    _da.CPB_REMAT = bool(getattr(args, "remat", True))
     mode = args.mode
     common = dict(label_dim=args.label_dim)
     if mode == "path":
