@@ -103,6 +103,18 @@ def main(gpu, args, wandb_logger=None, checkpoint: str | None = None):
     }
     fn = dispatch.get(cfg.mode, testBaselineModel)
     metrics = fn(model, loader, logger, cfg, state=state)
+
+    if cfg.save4visualization and cfg.mode in ("teacher", "uniteacher",
+                                               "student", "distillation"):
+        # attention-heatmap export (reference train_test.py:1121-1177)
+        from disentangled_multimodal_learning_tpu.train.evaluation import Evaluator
+
+        ev = Evaluator(model, cfg)
+        out_dir = cfg.checkpoints if cfg.checkpoints != "#" else "."
+        os.makedirs(out_dir, exist_ok=True)
+        path = ev.export_attention_maps(
+            state, loader, os.path.join(out_dir, f"attention_fold{cfg.cur_fold}.npz"))
+        print(f"[inference] attention maps -> {path}")
     printable = {k: v for k, v in metrics.items() if isinstance(v, float)}
     print(" ".join(f"{k}={v:.4f}" for k, v in printable.items()))
     if logger is not None:

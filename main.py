@@ -119,10 +119,25 @@ def _dispatch_training(cfg, logger, loaders):
     return run_training(cfg, model, loaders, logger, state=state)
 
 
+def _maybe_init_distributed(cfg):
+    """Multi-host initialization (replaces the reference's
+    dist.init_process_group("nccl") + MASTER_ADDR/PORT env rendezvous,
+    reference main.py:27-29,451-452).  On TPU pods each host runs this same
+    script; jax.distributed discovers peers from the TPU environment, and the
+    'data' mesh then spans all hosts' devices (collectives ride ICI/DCN)."""
+    if int(getattr(cfg, "nodes", 1)) > 1:
+        import jax
+
+        jax.distributed.initialize()
+        print(f"[main] multi-host: process {jax.process_index()} / "
+              f"{jax.process_count()}, {jax.device_count()} global devices")
+
+
 def main(gpu, args, wandb_logger=None):
     """Reference-compatible signature (main.py:19); ``gpu`` is unused on the
     single-controller TPU runtime."""
     cfg = args if isinstance(args, Config) else Config.from_dict(vars(args))
+    _maybe_init_distributed(cfg)
     np.random.seed(cfg.seed)
     logger = wandb_logger if wandb_logger is not None else Logger(cfg)
     os.makedirs(cfg.checkpoints, exist_ok=True) if cfg.checkpoints != "#" else None
