@@ -13,14 +13,15 @@ operation count: per scale, 2 deformable attentions materialize
 bandwidth-bound on A100 at ~1.5 TB/s => ~25 bags/s optimistic).  Replace with
 a measured number when A100 hardware is available.
 
-Profile notes (v5e, B=8, fixdim=2500): the step is entirely dominated by the
-4 deformable cross-attentions (stubbing them: 167 ms -> 3.9 ms), and within
-them by the SwinV2 CPB bias MLP, which is HBM-bandwidth-bound in XLA
-(~3 GB/layer hidden activations; bf16 + remat applied).  Two fused Pallas
-kernels exist in ops/pallas/deform_attn.py (fully-fused attention+CPB, and a
-flat CPB-bias kernel) — both numerically golden-tested, but currently slower
-than XLA's schedule due to Mosaic relayout costs on the (T,K)<->(K,HID)
-layout boundary; they are kept as tested experimental kernels.
+Profile notes (v5e, fixdim=2500): the step is entirely dominated by the 4
+deformable cross-attentions (stubbing them: 167 ms -> 3.9 ms at B=8), and
+within them by the SwinV2 CPB bias MLP (~3 GB/layer hidden activations in
+XLA).  The production path now runs the CPB MLP as the wide-layout Pallas
+kernel (ops/pallas/deform_attn.py cpb_bias_wide: hidden dim on sublanes,
+positions on lanes — zero Mosaic relayouts, hiddens never touch HBM,
+hand-written backward): 43 -> 58 (XLA tuning) -> 68 bags/s.  Two earlier
+fused-kernel iterations (fully-fused attention+CPB; flat narrow-block CPB)
+are kept golden-tested in the same file with notes on why their layouts lose.
 """
 
 from __future__ import annotations

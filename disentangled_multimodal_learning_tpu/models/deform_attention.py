@@ -79,40 +79,24 @@ class GroupedPointwise(nn.Module):
 
 # module-level remat switch for the CPB bias MLP (static at trace time)
 CPB_REMAT = True
+# use the fused wide-layout Pallas CPB kernel on TPU (ops/pallas/deform_attn);
+# hiddens never touch HBM and the backward is hand-written
+CPB_USE_PALLAS = True
 
 
-class _CPBBias(nn.Module):
-    """Inner CPB computation — wrapped in nn.remat by :class:`CPB` so the
-    ``[B*G, Nq, Nk, dim]`` MLP hiddens are recomputed in the backward pass
-    instead of living in HBM.
-
-    The hiddens are ~3 GB/layer at production shapes (64 x 2500 x 144 x 32
-    f32) and the MLP is HBM-bandwidth-bound; computing it in bfloat16
-    (params stay f32) halves the traffic.  The bias feeds a softmax whose
-    inputs are shifted by their row max, so bf16 bias precision (~2^-8
-    relative) is far below the attention's own noise floor."""
-
-    dim: int
-    depth: int
-    out_per_group: int
-    log_distance: bool
-    compute_dtype: jnp.dtype | None = None  # None -> bf16 on TPU, f32 on CPU
-
-    @nn.compact
-    def __call__(self, grid_q: jnp.ndarray, grid_kv: jnp.ndarray) -> jnp.ndarray:
-        cdt = self.compute_dtype or _compute_dtype()
-        # cast BEFORE the [B*G, Nq, Nk, P] pos tensor materializes: in f32 it
-        # alone is ~370 MB/pass at production shapes
-        grid_q = grid_q.astype(cdt)
-        grid_kv = grid_kv.astype(cdt)
-        pos = grid_q[None, :, None, :] - grid_kv[:, None, :, :]  # [B*G,Nq,Nk,P]
-        if self.log_distance:
-            pos = jnp.sign(pos) * jnp.log(jnp.abs(pos) + 1.0)
-        h = pos
-        for i in range(self.depth):
-            h = nn.relu(nn.Dense(self.dim, dtype=cdt, name=f"mlp_{i}")(h))
-        out = nn.Dense(self.out_per_group, dtype=cdt, name="mlp_out")(h)
-        return out.astype(jnp.float32)
+def _cpb_mlp(grid_q, grid_kv, w1, b1, w2, b2, w3, b3, log_distance, cdt):
+    """Unfused CPB MLP (XLA path): pos -> sign*log1p -> 2-layer relu MLP.
+    Hiddens are [B*G, Nq, Nk, dim] (~3 GB/layer at production shapes in f32;
+    computed in ``cdt``, usually bf16)."""
+    grid_q = grid_q.astype(cdt)
+    grid_kv = grid_kv.astype(cdt)
+    pos = grid_q[None, :, None, :] - grid_kv[:, None, :, :]  # [B*G,Nq,Nk,P]
+    if log_distance:
+        pos = jnp.sign(pos) * jnp.log(jnp.abs(pos) + 1.0)
+    h = jnp.maximum(pos @ w1.astype(cdt) + b1.astype(cdt), 0)
+    h = jnp.maximum(h @ w2.astype(cdt) + b2.astype(cdt), 0)
+    out = h @ w3.astype(cdt) + b3.astype(cdt)
+    return out.astype(jnp.float32)
 
 
 class CPB(nn.Module):
@@ -122,6 +106,11 @@ class CPB(nn.Module):
 
     grid_q: ``[Nq, P]`` static query coords; grid_kv: ``[B*G, Nk, P]`` sampled
     coords (P=2 for 2-D, 1 for 1-D).  Returns bias ``[B, heads, Nq, Nk]``.
+
+    Two execution paths over the SAME parameters:
+    - fused wide-layout Pallas kernel (TPU, 2-D, depth=2, dim=32,
+      heads==offset_groups) — hiddens stay in VMEM;
+    - unfused XLA MLP in bf16 under optional nn.remat (CPB_REMAT).
     """
 
     dim: int
@@ -135,14 +124,36 @@ class CPB(nn.Module):
         bg = grid_kv.shape[0]
         b = bg // self.offset_groups
         out_per_group = self.heads // self.offset_groups
-        # CPB_REMAT=False trades ~3 GB of stored bf16 hiddens per attention
-        # for skipping the backward recompute (+5% step throughput at B<=4;
-        # OOM risk at B>=8 with 4 attentions) — set via Config.remat through
-        # models.factory.define_net.
-        cls = nn.remat(_CPBBias) if CPB_REMAT else _CPBBias
-        bias = cls(
-            self.dim, self.depth, out_per_group, self.log_distance, name="bias_mlp"
-        )(grid_q, grid_kv)
+        P = grid_q.shape[-1]
+
+        lecun = nn.initializers.lecun_normal()
+        zeros = nn.initializers.zeros
+        w1 = self.param("mlp_0_kernel", lecun, (P, self.dim))
+        b1 = self.param("mlp_0_bias", zeros, (self.dim,))
+        w2 = self.param("mlp_1_kernel", lecun, (self.dim, self.dim))
+        b2 = self.param("mlp_1_bias", zeros, (self.dim,))
+        w3 = self.param("mlp_out_kernel", lecun, (self.dim, out_per_group))
+        b3 = self.param("mlp_out_bias", zeros, (out_per_group,))
+
+        use_pallas = (CPB_USE_PALLAS and P == 2 and self.depth == 2
+                      and out_per_group == 1
+                      and jax.default_backend() == "tpu")
+        if use_pallas:
+            from ..ops.pallas.deform_attn import HID, cpb_bias_from_grids
+
+            use_pallas = self.dim == HID
+        if use_pallas:
+            bias = cpb_bias_from_grids(grid_q, grid_kv, w1, b1, w2, b2, w3,
+                                       b3)[..., None]  # [B*G, Nq, Nk, 1]
+        else:
+            cdt = _compute_dtype()
+            fn = _cpb_mlp
+            if CPB_REMAT:
+                fn = jax.checkpoint(
+                    _cpb_mlp, static_argnums=(8, 9),
+                    policy=jax.checkpoint_policies.nothing_saveable)
+            bias = fn(grid_q, grid_kv, w1, b1, w2, b2, w3, b3,
+                      self.log_distance, cdt)
         nq, nk = bias.shape[1], bias.shape[2]
         bias = bias.reshape(b, self.offset_groups, nq, nk, out_per_group)
         bias = bias.transpose(0, 1, 4, 2, 3).reshape(b, self.heads, nq, nk)

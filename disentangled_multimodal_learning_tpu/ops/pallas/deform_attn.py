@@ -604,3 +604,192 @@ def cpb_bias(grid_q, grid_kv, w1, b1, w2, b2, w3, b3, chunk_t: int = _CHUNK_T,
     bias = cpb_bias_flat(gq_exp, gkv_rep, w1, b1, w2, b2, w3, b3, interpret)
     bias = bias.reshape(BH, n_pad, K)
     return bias[:, :N]
+
+
+# ===========================================================================
+# Wide CPB bias kernel (layout-correct: hidden on sublanes, positions on lanes)
+# ===========================================================================
+# Third iteration of the CPB fusion.  The flat kernel above still loses to
+# XLA because its narrow [rows, 2]/[rows, 1] blocks lane-pad 64-128x in VMEM
+# and every elementwise op runs at 1/128 lane utilization.  This version puts
+# the HID=32 hidden dimension on SUBLANES and a wide chunk of positions on
+# LANES:
+#
+#   h1   = outer(w1x, fx_chunk) + outer(w1y, fy_chunk) + b1    [HID, CH]
+#   h2   = relu(W2^T @ h1 + b2)                                 [HID, CH]  MXU
+#   bias = w3^T @ h2 + b3                                       [1,  CH]  MXU
+#
+# Every op is full-lane-width; the only reductions are lane reductions and
+# ones-matmuls.  The sign*log1p transform runs in XLA (wide + autodiffed), so
+# the kernel is differentiable w.r.t. (fx, fy, params) and JAX chains the
+# gkv gradient through the XLA-side transform.
+
+_WIDE_CHUNK = 8192
+
+
+def _cpb_wide_fwd_kernel(fx_ref, fy_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                         w3_ref, b3_ref, bias_ref):
+    fx = fx_ref[...]                                    # [1, CH]
+    fy = fy_ref[...]
+    w1 = w1_ref[...]                                    # [2, HID]
+    h1 = (w1[0][:, None] * fx + w1[1][:, None] * fy
+          + b1_ref[...][:, None])                       # [HID, CH]
+    h1 = jnp.maximum(h1, 0.0)
+    h2 = jax.lax.dot_general(w2_ref[...], h1, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    h2 = jnp.maximum(h2 + b2_ref[...][:, None], 0.0)    # [HID, CH]
+    bias_ref[...] = (jax.lax.dot_general(
+        w3_ref[...], h2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b3_ref[...][:, None])  # [1, CH]
+
+
+def _cpb_wide_bwd_kernel(fx_ref, fy_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                         w3_ref, b3_ref, dbias_ref,
+                         dfx_ref, dfy_ref, dw1_ref, db1_ref, dw2_ref,
+                         db2_ref, dw3_ref, db3_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        dw3_ref[...] = jnp.zeros_like(dw3_ref)
+        db3_ref[...] = jnp.zeros_like(db3_ref)
+
+    fx = fx_ref[...]
+    fy = fy_ref[...]
+    w1 = w1_ref[...]
+    w2 = w2_ref[...]
+    w3 = w3_ref[...]
+    h1 = (w1[0][:, None] * fx + w1[1][:, None] * fy + b1_ref[...][:, None])
+    h1 = jnp.maximum(h1, 0.0)
+    h2 = jax.lax.dot_general(w2, h1, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    h2 = jnp.maximum(h2 + b2_ref[...][:, None], 0.0)
+
+    db = dbias_ref[...]                                 # [1, CH]
+    # bias = w3^T h2 + b3
+    dw3_ref[...] += jax.lax.dot_general(
+        h2, db, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)             # [HID, 1]
+    db3_ref[...] += jnp.sum(db, axis=1, keepdims=True)  # [1, 1] lane reduce
+    dh2 = w3 * db                                       # [HID,1]*[1,CH]
+    dh2 = dh2 * (h2 > 0).astype(jnp.float32)
+    # h2 = W2^T h1 -> dW2 = h1 dh2^T, dh1 = W2 dh2
+    dw2_ref[...] += jax.lax.dot_general(
+        h1, dh2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)             # [HID, HID]
+    db2_ref[...] += jnp.sum(dh2, axis=1, keepdims=True)  # [HID, 1]
+    dh1 = jax.lax.dot_general(w2, dh2, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dh1 = dh1 * (h1 > 0).astype(jnp.float32)            # [HID, CH]
+    db1_ref[...] += jnp.sum(dh1, axis=1, keepdims=True)
+    # h1 = w1x fx + w1y fy + b1 (outer products)
+    dw1_ref[...] += jnp.concatenate([
+        jax.lax.dot_general(dh1, fx, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32).T,
+        jax.lax.dot_general(dh1, fy, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32).T,
+    ], axis=0)                                          # [2, HID]
+    ones_h = jnp.ones((1, dh1.shape[0]), jnp.float32)
+    dfx_ref[...] = jnp.dot(ones_h, dh1 * w1[0][:, None],
+                           preferred_element_type=jnp.float32)
+    dfy_ref[...] = jnp.dot(ones_h, dh1 * w1[1][:, None],
+                           preferred_element_type=jnp.float32)
+
+
+def _cpb_wide_specs(extra=0):
+    return ([pl.BlockSpec((1, _WIDE_CHUNK), lambda i: (0, i))] * 2
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (6 + extra))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def cpb_bias_wide(fx, fy, w1, b1, w2, b2, w3, b3, interpret=False):
+    """fx, fy: [M] flat log-transformed position diffs (padded to a multiple
+    of the chunk); returns bias [M]."""
+    return _cpb_wide_fwd(fx, fy, w1, b1, w2, b2, w3, b3, interpret)
+
+
+def _cpb_wide_fwd(fx, fy, w1, b1, w2, b2, w3, b3, interpret):
+    M = fx.shape[0]
+    assert M % _WIDE_CHUNK == 0
+    grid = (M // _WIDE_CHUNK,)
+    bias = pl.pallas_call(
+        _cpb_wide_fwd_kernel,
+        grid=grid,
+        in_specs=_cpb_wide_specs(),
+        out_specs=pl.BlockSpec((1, _WIDE_CHUNK), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((1, M), jnp.float32),
+        interpret=interpret,
+    )(fx[None, :], fy[None, :], w1, b1, w2, b2, w3, b3)
+    return bias[0]
+
+
+def _cpb_wide_vjp_fwd(fx, fy, w1, b1, w2, b2, w3, b3, interpret):
+    bias = _cpb_wide_fwd(fx, fy, w1, b1, w2, b2, w3, b3, interpret)
+    return bias, (fx, fy, w1, b1, w2, b2, w3, b3)
+
+
+def _cpb_wide_vjp_bwd(interpret, res, dbias):
+    fx, fy, w1, b1, w2, b2, w3, b3 = res
+    M = fx.shape[0]
+    grid = (M // _WIDE_CHUNK,)
+    outs = pl.pallas_call(
+        _cpb_wide_bwd_kernel,
+        grid=grid,
+        in_specs=_cpb_wide_specs() + [
+            pl.BlockSpec((1, _WIDE_CHUNK), lambda i: (0, i))],  # dbias
+        out_specs=[
+            pl.BlockSpec((1, _WIDE_CHUNK), lambda i: (0, i)),   # dfx
+            pl.BlockSpec((1, _WIDE_CHUNK), lambda i: (0, i)),   # dfy
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, M), jnp.float32),
+            jax.ShapeDtypeStruct((1, M), jnp.float32),
+            jax.ShapeDtypeStruct((2, HID), jnp.float32),
+            jax.ShapeDtypeStruct((HID, 1), jnp.float32),
+            jax.ShapeDtypeStruct((HID, HID), jnp.float32),
+            jax.ShapeDtypeStruct((HID, 1), jnp.float32),
+            jax.ShapeDtypeStruct((HID, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(fx[None, :], fy[None, :], w1, b1, w2, b2, w3, b3, dbias[None, :])
+    dfx, dfy, dw1, db1, dw2, db2, dw3, db3 = outs
+    return (dfx[0], dfy[0], dw1, db1[:, 0], dw2, db2[:, 0], dw3, db3[0])
+
+
+cpb_bias_wide.defvjp(_cpb_wide_vjp_fwd, _cpb_wide_vjp_bwd)
+
+
+def cpb_bias_from_grids(grid_q, grid_kv, w1, b1, w2, b2, w3, b3,
+                        interpret: bool = False):
+    """Drop-in CPB: grid_q [N,2], grid_kv [BH,K,2] -> bias [BH, N, K].
+
+    XLA computes the wide sign*log1p position transform (autodiffed, so the
+    grid_kv gradient flows); the Pallas kernel fuses the MLP so its hiddens
+    never touch HBM."""
+    N = grid_q.shape[0]
+    BH, K, _ = grid_kv.shape
+
+    def _f(c):  # [BH,N,K] per coordinate, no stacked pos tensor
+        d = grid_q[None, :, None, c] - grid_kv[:, None, :, c]
+        return (jnp.sign(d) * jnp.log1p(jnp.abs(d))).reshape(-1)
+
+    fx = _f(0)
+    fy = _f(1)
+    M = fx.shape[0]
+    M_pad = _round_up(M, _WIDE_CHUNK)
+    if M_pad != M:
+        fx = jnp.pad(fx, (0, M_pad - M))
+        fy = jnp.pad(fy, (0, M_pad - M))
+    bias = cpb_bias_wide(fx, fy, w1, b1, w2, b2, w3, b3, interpret)
+    return bias[:M].reshape(BH, N, K)

@@ -49,7 +49,11 @@ class Evaluator:
         cfg = self.cfg
         outs, labels = self._run(state, loader)
         tags = {"teacher": ("tea10", "tea20", "teas"),
-                "student": ("stu10", "stu20", "stus")}[model_type]
+                "student": ("stu10", "stu20", "stus"),
+                # multiscale joint model (reference epochScalesVal,
+                # utils/metrics.py:335-493): per-scale teacher + student +
+                # combined student logits
+                "scales": ("tea10", "tea20", "stu10", "stu20", "stus")}[model_type]
         if cfg.task_type == "survival":
             risks = {t: np.concatenate([o[5][f"risk_{t}"] for o in outs]) for t in tags}
             censor = labels[:, LabelCol.CENSOR]

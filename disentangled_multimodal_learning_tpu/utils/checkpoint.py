@@ -56,8 +56,8 @@ def load_checkpoint(path: str) -> dict:
 
 
 def restore_state(state, path: str):
-    """Restore a TrainState (or params-only) from disk."""
-    payload = load_checkpoint(path)
+    """Restore a TrainState (or params-only) from disk (pickle or orbax)."""
+    payload = load_checkpoint_any(path)
     import jax.numpy as jnp
 
     return state.replace(
@@ -71,3 +71,35 @@ def restore_state(state, path: str):
 
 def load_params(path: str):
     return load_checkpoint(path)["params"]
+
+
+# --------------------------------------------------------------------- orbax
+
+def save_checkpoint_orbax(directory: str, name: str, state,
+                          extra: dict | None = None) -> str:
+    """Orbax backend (async-capable, TPU-idiomatic); same payload layout as
+    the pickle backend.  Returns the checkpoint directory path."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(directory, name + ".orbax"))
+    payload = {
+        "params": _to_host(state.params),
+        "opt_state": _to_host(state.opt_state),
+        "batch_stats": _to_host(state.batch_stats)
+        if state.batch_stats is not None else None,
+        "step": int(state.step),
+        "extra": extra or {},
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    return path
+
+
+def load_checkpoint_any(path: str) -> dict:
+    """Load either backend: .orbax directories or pickle files."""
+    if path.endswith(".orbax") or os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(os.path.abspath(path))
+    return load_checkpoint(path)

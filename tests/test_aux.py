@@ -109,3 +109,45 @@ def test_step_timer_fence():
     per_step = t.stop(tree)
     # roundtrip subtraction can make a ~zero window slightly negative
     assert per_step > -0.01
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    from disentangled_multimodal_learning_tpu.train.optim import make_optimizer
+    from disentangled_multimodal_learning_tpu.train.trainers import init_model_state
+    from disentangled_multimodal_learning_tpu.utils.checkpoint import (
+        restore_state, save_checkpoint_orbax)
+
+    cfg = tiny_cfg("path")
+    model = define_net(cfg)
+    loaders = tiny_loaders(cfg)
+    from disentangled_multimodal_learning_tpu.train.optim import make_optimizer
+
+    tx = make_optimizer(cfg, 1)
+    state = init_model_state(model, cfg, next(iter(loaders[0])), tx)
+    path = save_checkpoint_orbax(str(tmp_path), "ck", state)
+    fresh = init_model_state(model, cfg, next(iter(loaders[0])), tx, seed=9)
+    restored = restore_state(fresh, path)
+    a = jax.tree_util.tree_leaves(restored.params)
+    b = jax.tree_util.tree_leaves(state.params)
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+
+def test_multiscale_scales_val_reports_all_tags():
+    import jax
+
+    from disentangled_multimodal_learning_tpu.train.evaluation import Evaluator
+    from disentangled_multimodal_learning_tpu.train.optim import make_optimizer
+    from disentangled_multimodal_learning_tpu.train.trainers import init_model_state
+
+    cfg = tiny_cfg("multiscale")
+    model = define_net(cfg)
+    loaders = tiny_loaders(cfg)
+    tx = make_optimizer(cfg, 1)
+    state = init_model_state(model, cfg, next(iter(loaders[0])), tx)
+    ev = Evaluator(model, cfg)
+    res = ev.distill_val(state, loaders[1], "scales")
+    acc = res[0]
+    assert set(acc) == {"acc_tea10", "acc_tea20", "acc_stu10", "acc_stu20",
+                        "acc_stus"}
