@@ -102,7 +102,7 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
     ckpt_path = None
     if cfg.checkpoints and cfg.checkpoints != "#":
         name = metric_stamped_name(cfg.cur_fold, cfg.epochs - 1, final_metrics,
-                                   cfg.task_type)
+                                   cfg.task_type, mode=mode)
         ckpt_path = save_checkpoint(cfg.checkpoints, name, state,
                                     extra={"mode": mode, "task": cfg.task_type,
                                            "fold": cfg.cur_fold})

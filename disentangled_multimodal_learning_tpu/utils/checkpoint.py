@@ -20,15 +20,20 @@ import numpy as np
 
 
 def metric_stamped_name(cur_fold: int, epoch: int, metrics: dict,
-                        task_type: str) -> str:
-    """Reference naming (train_test.py:325-335): 1-based fold, 1-based epoch."""
+                        task_type: str, mode: str | None = None) -> str:
+    """Reference naming (train_test.py:325-335): 1-based fold, 1-based epoch.
+    A ``mode`` prefix is added (deviation from the reference) so e.g. the
+    student and the distilled student of the same fold/metrics don't
+    overwrite each other."""
+    prefix = f"{mode}_" if mode else ""
     if task_type == "survival":
-        return "fold_{:d}_epoch_{:d}_cindex_{:f}_".format(
+        return prefix + "fold_{:d}_epoch_{:d}_cindex_{:f}_".format(
             cur_fold + 1, epoch + 1, metrics["cindex"])
-    return ("fold_{:d}_epoch_{:d}_AUC_{:f}_ACC_{:f}_Sens_{:f}_Spec_{:f}_"
-            "F1_{:f}_".format(cur_fold + 1, epoch + 1, metrics["auc"],
-                              metrics["acc"], metrics["sens"], metrics["spec"],
-                              metrics["f1"]))
+    return prefix + ("fold_{:d}_epoch_{:d}_AUC_{:f}_ACC_{:f}_Sens_{:f}_"
+                     "Spec_{:f}_F1_{:f}_".format(
+                         cur_fold + 1, epoch + 1, metrics["auc"],
+                         metrics["acc"], metrics["sens"], metrics["spec"],
+                         metrics["f1"]))
 
 
 def _to_host(tree):

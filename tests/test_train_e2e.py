@@ -79,7 +79,7 @@ def test_checkpoint_roundtrip(tmp_path):
     state, metrics, ckpt = run_training(cfg, model, tiny_loaders(cfg))
     assert ckpt is not None and ckpt.endswith(".ckpt")
     # metric-stamped name convention
-    assert "fold_1_epoch_1_AUC_" in ckpt
+    assert "student_fold_1_epoch_1_AUC_" in ckpt
 
     from disentangled_multimodal_learning_tpu.train.optim import make_optimizer
     from disentangled_multimodal_learning_tpu.train.trainers import init_model_state
