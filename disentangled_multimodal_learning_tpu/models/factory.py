@@ -125,3 +125,34 @@ def model_inputs(mode: str, batch, train: bool = True) -> dict:
     if mode == "omic":
         return dict(x_omic=to(b.x_omic))
     raise NotImplementedError(mode)
+
+
+def define_act_layer(act_type: str = "Tanh"):
+    """Activation factory (reference models/model.py:146-159) as a callable."""
+    import jax
+    import jax.numpy as jnp
+
+    table = {
+        "Tanh": jnp.tanh,
+        "ReLU": jax.nn.relu,
+        "Sigmoid": jax.nn.sigmoid,
+        "LSM": lambda x: jax.nn.log_softmax(x, axis=1),
+        "none": None,
+    }
+    if act_type not in table:
+        raise NotImplementedError(f"activation layer [{act_type}] is not found")
+    return table[act_type]
+
+
+def define_bifusion(fusion_type: str, skip=1, use_bilinear=1, gate1=1, gate2=1,
+                    dim1=32, dim2=32, scale_dim1=1, scale_dim2=1, mmhid=32,
+                    dropout_rate=0.25):
+    """Gated-bilinear fusion factory (reference models/model.py:162-168)."""
+    from .fusion import BilinearFusion
+
+    if fusion_type != "pofusion":
+        raise NotImplementedError(f"fusion type [{fusion_type}] is not found")
+    return BilinearFusion(skip=skip, use_bilinear=use_bilinear, gate1=gate1,
+                          gate2=gate2, dim1=dim1, dim2=dim2,
+                          scale_dim1=scale_dim1, scale_dim2=scale_dim2,
+                          mmhid=mmhid, dropout_rate=dropout_rate)
