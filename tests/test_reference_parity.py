@@ -1,0 +1,252 @@
+"""Flagship-kernel parity against the ACTUAL reference implementation.
+
+The reference repo (mounted read-only at /root/reference) is used purely as a
+test oracle: we import its DeformableAttention2D module on torch CPU, port
+OUR flax parameters into it, and require output agreement.  This is the
+golden-value parity testing SURVEY.md §4 prescribes; no reference code is
+copied into this repo.  Skipped when the reference mount is absent.
+"""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference mount not available")
+
+
+def _load_ref_module(relpath, name):
+    spec = importlib.util.spec_from_file_location(name, os.path.join(REF, relpath))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_attn2d():
+    mod = _load_ref_module("models/DeformableAttention2D.py", "ref_deform2d")
+    m = mod.DeformCrossAttention2D(
+        dim=128, dim_head=64, heads=8, dropout=0.0, downsample_factor=4,
+        offset_scale=4, offset_groups=8, offset_kernel_size=6)
+    m.eval()
+    return m
+
+
+def _port_params_into_ref(ref, params):
+    """Copy our flax DeformCrossAttention2D params into the reference torch
+    module (layout mapping documented inline)."""
+    G, H, inner, dim, od = 8, 8, 512, 128, 64
+    p = params
+    with torch.no_grad():
+        def t(x):
+            return torch.from_numpy(np.asarray(x))
+
+        # grouped 1x1 convs: torch weight [out, in/groups, 1, 1]; ours [g, ci, co]
+        for ours, theirs in [("to_q", ref.to_q), ("to_k", ref.to_k),
+                             ("to_v", ref.to_v)]:
+            k = np.asarray(p[ours]["kernel"])  # [G, ci, co]
+            w = np.zeros((inner, dim // G, 1, 1), np.float32)
+            ci, co = k.shape[1], k.shape[2]
+            for g in range(G):
+                # torch rows g*co..(g+1)*co map input block g
+                w[g * co:(g + 1) * co, :, 0, 0] = k[g].T
+            theirs.weight.copy_(t(w))
+
+        # offset depthwise conv: ours HWIO (k, k, 1, od); torch [od, 1, k, k]
+        dk = np.asarray(p["offset_conv"]["kernel"])
+        ref.to_offsets[0].weight.copy_(t(dk.transpose(3, 2, 0, 1)))
+        ref.to_offsets[0].bias.copy_(t(p["offset_conv"]["bias"]))
+        # offset 1x1 conv od->2 no bias: ours Dense [od, 2]; torch [2, od, 1, 1]
+        ow = np.asarray(p["offset_out"]["kernel"])
+        ref.to_offsets[2].weight.copy_(t(ow.T[:, :, None, None]))
+
+        # CPB MLP: ours raw params mlp_{0,1}_kernel [in, out]; torch Linear [out, in]
+        cpb = p["rel_pos_bias"]
+        ref.rel_pos_bias.mlp[0][0].weight.copy_(t(np.asarray(cpb["mlp_0_kernel"]).T))
+        ref.rel_pos_bias.mlp[0][0].bias.copy_(t(cpb["mlp_0_bias"]))
+        ref.rel_pos_bias.mlp[1][0].weight.copy_(t(np.asarray(cpb["mlp_1_kernel"]).T))
+        ref.rel_pos_bias.mlp[1][0].bias.copy_(t(cpb["mlp_1_bias"]))
+        ref.rel_pos_bias.mlp[2].weight.copy_(t(np.asarray(cpb["mlp_out_kernel"]).T))
+        ref.rel_pos_bias.mlp[2].bias.copy_(t(cpb["mlp_out_bias"]))
+
+        # output projection: ours Dense [inner, dim]; torch Conv2d [dim, inner, 1, 1]
+        ref.to_out.weight.copy_(t(np.asarray(p["to_out"]["kernel"]).T[:, :, None, None]))
+        ref.to_out.bias.copy_(t(p["to_out"]["bias"]))
+
+
+def test_deform2d_matches_reference_end_to_end(ref_attn2d, rng):
+    """Same params, same input: our DeformCrossAttention2D == the reference's
+    (out and attention maps), on a 16x16 token grid."""
+    from disentangled_multimodal_learning_tpu.models.deform_attention import (
+        DeformCrossAttention2D)
+
+    B, N, C = 2, 256, 128
+    x1 = rng.normal(size=(B, N, C)).astype(np.float32)
+    x2 = rng.normal(size=(B, N, C)).astype(np.float32)
+
+    ours = DeformCrossAttention2D(dim=128, dropout=0.0)
+    variables = ours.init({"params": jax.random.PRNGKey(0)},
+                          jnp.asarray(x1), jnp.asarray(x2), deterministic=True)
+    out_j, attn_j = ours.apply(variables, jnp.asarray(x1), jnp.asarray(x2),
+                               deterministic=True)
+
+    _port_params_into_ref(ref_attn2d, variables["params"])
+    with torch.no_grad():
+        # reference takes channel-first [B, C, N] (models/Modules.py:206
+        # transposes before the call)
+        out_t, attn_t = ref_attn2d(torch.from_numpy(x1.transpose(0, 2, 1)),
+                                   torch.from_numpy(x2.transpose(0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy().transpose(0, 2, 1),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(attn_j), attn_t.numpy(),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_deform2d_vgrid_matches_reference(ref_attn2d, rng):
+    from disentangled_multimodal_learning_tpu.models.deform_attention import (
+        DeformCrossAttention2D)
+
+    B, N, C = 1, 256, 128
+    x1 = rng.normal(size=(B, N, C)).astype(np.float32)
+    x2 = rng.normal(size=(B, N, C)).astype(np.float32)
+    ours = DeformCrossAttention2D(dim=128, dropout=0.0)
+    variables = ours.init({"params": jax.random.PRNGKey(0)},
+                          jnp.asarray(x1), jnp.asarray(x2), deterministic=True)
+    _, vgrid_j = ours.apply(variables, jnp.asarray(x1), jnp.asarray(x2),
+                            return_vgrid=True, deterministic=True)
+    _port_params_into_ref(ref_attn2d, variables["params"])
+    with torch.no_grad():
+        _, vgrid_t = ref_attn2d(torch.from_numpy(x1.transpose(0, 2, 1)),
+                                torch.from_numpy(x2.transpose(0, 2, 1)),
+                                return_vgrid=True)
+    np.testing.assert_allclose(np.asarray(vgrid_j), vgrid_t.numpy(),
+                               atol=2e-4, rtol=1e-3)
+
+
+# --------------------------------------------------------------- Nystrom attn
+def test_nystrom_matches_reference(rng):
+    mod = _load_ref_module("models/NystromAttention.py", "ref_nystrom")
+    dim, heads, dh, m = 64, 4, 16, 16
+    ref = mod.NystromAttention(dim=dim, dim_head=dh, heads=heads,
+                               num_landmarks=m, pinv_iterations=6,
+                               residual=True, dropout=0.0)
+    ref.eval()
+
+    from disentangled_multimodal_learning_tpu.models.layers import (
+        NystromAttention as OursNystrom)
+
+    ours = OursNystrom(dim=dim, dim_head=dh, heads=heads, num_landmarks=m,
+                       pinv_iterations=6, residual=True, dropout=0.0)
+    B, N = 2, 50  # not a multiple of m -> exercises front padding
+    x = rng.normal(size=(B, N, dim)).astype(np.float32)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    p = variables["params"]
+
+    with torch.no_grad():
+        ref.to_qkv.weight.copy_(torch.from_numpy(np.asarray(p["to_qkv"]["kernel"]).T))
+        # ours res_conv HWIO (33, 1, 1, h); torch [h, 1, 33, 1]
+        rc = np.asarray(p["res_conv"])
+        ref.res_conv.weight.copy_(torch.from_numpy(rc.transpose(3, 2, 0, 1)))
+        ref.to_out[0].weight.copy_(torch.from_numpy(np.asarray(p["to_out"]["kernel"]).T))
+        ref.to_out[0].bias.copy_(torch.from_numpy(np.asarray(p["to_out"]["bias"])))
+        want = ref(torch.from_numpy(x)).numpy()
+    got = np.asarray(ours.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-3)
+
+
+# ------------------------------------------------------------ 1-D deform attn
+def test_deform1d_matches_reference(rng):
+    mod = _load_ref_module("models/DeformableAttention1D.py", "ref_deform1d")
+    ref = mod.DeformCrossAttention1D(dim=128, downsample_factor=4,
+                                     offset_scale=2, offset_kernel_size=6,
+                                     dropout=0.0)
+    ref.eval()
+
+    from disentangled_multimodal_learning_tpu.models.deform_attention import (
+        DeformCrossAttention1D)
+
+    # degenerate_sampling=True reproduces the reference's pad-to-2D
+    # grid-sample bug bit-exactly (see ops/grid_sample.py)
+    ours = DeformCrossAttention1D(dim=128, downsample_factor=4, offset_scale=2,
+                                  offset_kernel_size=6, dropout=0.0,
+                                  degenerate_sampling=True)
+    B, N, C = 2, 64, 128
+    x1 = rng.normal(size=(B, N, C)).astype(np.float32)
+    x2 = rng.normal(size=(B, N, C)).astype(np.float32)
+    variables = ours.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x1),
+                          jnp.asarray(x2), deterministic=True)
+    p = variables["params"]
+    inner, G, od = 512, 4, 128
+
+    with torch.no_grad():
+        def t(x):
+            return torch.from_numpy(np.ascontiguousarray(np.asarray(x)))
+
+        # ungrouped 1x1 conv1d [out, in, 1] <-> Dense [in, out]
+        for ours_name, theirs in [("to_q", ref.to_q), ("to_k", ref.to_k),
+                                  ("to_v", ref.to_v)]:
+            ref_w = np.asarray(p[ours_name]["kernel"]).T[:, :, None]
+            theirs.weight.copy_(t(ref_w))
+        # depthwise conv1d: ours HIO (k, 1, od); torch [od, 1, k]
+        dk = np.asarray(p["offset_conv_kernel"])
+        ref.to_offsets[0].weight.copy_(t(dk.transpose(2, 1, 0)))
+        ref.to_offsets[0].bias.copy_(t(p["offset_conv_bias"]))
+        ow = np.asarray(p["offset_out"]["kernel"])  # [od, 1]
+        ref.to_offsets[2].weight.copy_(t(ow.T[:, :, None]))
+        cpb = p["rel_pos_bias"]
+        ref.rel_pos_bias.mlp[0][0].weight.copy_(t(np.asarray(cpb["mlp_0_kernel"]).T))
+        ref.rel_pos_bias.mlp[0][0].bias.copy_(t(cpb["mlp_0_bias"]))
+        ref.rel_pos_bias.mlp[1][0].weight.copy_(t(np.asarray(cpb["mlp_1_kernel"]).T))
+        ref.rel_pos_bias.mlp[1][0].bias.copy_(t(cpb["mlp_1_bias"]))
+        ref.rel_pos_bias.mlp[2].weight.copy_(t(np.asarray(cpb["mlp_out_kernel"]).T))
+        ref.rel_pos_bias.mlp[2].bias.copy_(t(cpb["mlp_out_bias"]))
+        ref.to_out.weight.copy_(t(np.asarray(p["to_out"]["kernel"]).T[:, :, None]))
+        ref.to_out.bias.copy_(t(p["to_out"]["bias"]))
+
+        want = ref(torch.from_numpy(x1.transpose(0, 2, 1)),
+                   torch.from_numpy(x2.transpose(0, 2, 1))).numpy()
+    got = np.asarray(ours.apply(variables, jnp.asarray(x1), jnp.asarray(x2),
+                                deterministic=True))
+    np.testing.assert_allclose(got, want.transpose(0, 2, 1), atol=5e-4, rtol=5e-3)
+
+
+# ------------------------------------------------------------------- DPC-KNN
+def test_dpc_knn_matches_reference(rng, monkeypatch):
+    mod = _load_ref_module("models/ClusterMergeNet.py", "ref_cluster")
+    B, N, C, K = 2, 24, 8, 3
+    x = rng.normal(size=(B, N, C)).astype(np.float32)
+    noise = rng.uniform(size=(B, N)).astype(np.float32)
+
+    # reference adds torch.rand noise internally; pin it to ours
+    monkeypatch.setattr(torch, "rand",
+                        lambda *a, **k: torch.from_numpy(noise))
+    token_dict = {"x": torch.from_numpy(x)}
+    idx_ref, _ = mod.cluster_dpc_knn(token_dict, K, k=5)
+
+    from disentangled_multimodal_learning_tpu.ops.cluster import dpc_knn_cluster
+
+    idx_ours, _ = dpc_knn_cluster(jnp.asarray(x), K, k=5,
+                                  density_noise=jnp.asarray(noise))
+    np.testing.assert_array_equal(np.asarray(idx_ours), idx_ref.numpy())
+
+    # and the weighted merge
+    w = rng.uniform(0.5, 1.5, size=(B, N, 1)).astype(np.float32)
+    token_dict_full = {"x": torch.from_numpy(x),
+                       "idx_token": torch.arange(N)[None].repeat(B, 1),
+                       "agg_weight": torch.ones(B, N, 1)}
+    out_ref = mod.merge_tokens(token_dict_full, idx_ref, K,
+                               torch.from_numpy(w))["x"].numpy()
+    from disentangled_multimodal_learning_tpu.ops.cluster import merge_tokens
+
+    out_ours = np.asarray(merge_tokens(jnp.asarray(x), idx_ours, K,
+                                       jnp.asarray(w)))
+    np.testing.assert_allclose(out_ours, out_ref, atol=1e-5)
