@@ -250,3 +250,169 @@ def test_dpc_knn_matches_reference(rng, monkeypatch):
     out_ours = np.asarray(merge_tokens(jnp.asarray(x), idx_ours, K,
                                        jnp.asarray(w)))
     np.testing.assert_allclose(out_ours, out_ref, atol=1e-5)
+
+
+# ------------------------------------------------- FULL TeacherNet (flagship)
+def _load_ref_modules_pkg():
+    """Import the reference models package with a faked nystrom_attention
+    (the pip package is absent; the reference vendors an identical copy at
+    models/NystromAttention.py which we inject instead)."""
+    import types
+
+    if "refmodels.Modules" in sys.modules:
+        return sys.modules["refmodels.Modules"]
+    nys = _load_ref_module("models/NystromAttention.py", "ref_nystrom_mod")
+    fake = types.ModuleType("nystrom_attention")
+    fake.NystromAttention = nys.NystromAttention
+    sys.modules["nystrom_attention"] = fake
+    pkg = types.ModuleType("refmodels")
+    pkg.__path__ = [os.path.join(REF, "models")]
+    sys.modules["refmodels"] = pkg
+    spec = importlib.util.spec_from_file_location(
+        "refmodels.Modules", os.path.join(REF, "models/Modules.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["refmodels.Modules"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _t(x):
+    return torch.from_numpy(np.ascontiguousarray(np.asarray(x)))
+
+
+def _port_ln(ref_ln, p):
+    with torch.no_grad():
+        ref_ln.weight.copy_(_t(p["scale"]))
+        ref_ln.bias.copy_(_t(p["bias"]))
+
+
+def _port_dense(ref_linear, p):
+    with torch.no_grad():
+        ref_linear.weight.copy_(_t(np.asarray(p["kernel"]).T))
+        if ref_linear.bias is not None:
+            ref_linear.bias.copy_(_t(p["bias"]))
+
+
+def _port_torch_mha(ref_mha, p):
+    """our {q,k,v,out}_proj Dense -> torch packed nn.MultiheadAttention."""
+    with torch.no_grad():
+        wq = np.asarray(p["q_proj"]["kernel"]).T
+        wk = np.asarray(p["k_proj"]["kernel"]).T
+        wv = np.asarray(p["v_proj"]["kernel"]).T
+        ref_mha.in_proj_weight.copy_(_t(np.concatenate([wq, wk, wv], 0)))
+        ref_mha.in_proj_bias.copy_(_t(np.concatenate(
+            [np.asarray(p["q_proj"]["bias"]), np.asarray(p["k_proj"]["bias"]),
+             np.asarray(p["v_proj"]["bias"])])))
+        _port_dense(ref_mha.out_proj, p["out_proj"])
+
+
+def test_full_teacher_net_matches_reference(rng):
+    """The flagship single-scale TeacherNet: same weights, same inputs ->
+    same (logits, hazards, S, risk, feature1, feature2, att1, att2) as the
+    reference (models/Modules.py:355-395)."""
+    import argparse
+
+    mod = _load_ref_modules_pkg()
+    args = argparse.Namespace(path_dim=128, label_dim=4, attn_dim=2,
+                              path_cluster_num=0.0008)
+    ref = mod.TeacherNet(args)
+    ref.eval()
+
+    from disentangled_multimodal_learning_tpu.models.teacher_student import (
+        TeacherNet)
+
+    ours = TeacherNet(label_dim=4, path_dim=128)
+    B, N = 2, 256
+    path = rng.normal(size=(B, N, 1024)).astype(np.float32)
+    omic1 = rng.normal(size=(B, 128)).astype(np.float32)
+    omic2 = rng.normal(size=(B, 128)).astype(np.float32)
+    variables = ours.init({"params": jax.random.PRNGKey(0)},
+                          jnp.asarray(path), [jnp.asarray(omic1),
+                                              jnp.asarray(omic2)],
+                          deterministic=True)
+    p = variables["params"]
+
+    # ---- port every parameter --------------------------------------------
+    _port_dense(ref._fc1[0], p["_fc1"])
+    enc = p["encoder"]
+    _port_ln(ref.encoder.norm, enc["norm"])
+    _port_params_into_ref(ref.encoder.attn2d_omic1, enc["attn2d_omic1"])
+    _port_params_into_ref(ref.encoder.attn2d_omic2, enc["attn2d_omic2"])
+    _port_dense(ref.encoder.fusion_layer.fusion_layer,
+                enc["fusion_layer"]["fusion_layer"])
+    for i in (1, 2):
+        ref_tf = getattr(ref.encoder, f"transfusion_layer{i}")
+        our_tf = enc[f"transfusion_layer{i}"]
+        _port_ln(ref_tf.norm, our_tf["norm"])
+        _port_torch_mha(ref_tf.multihead_attn, our_tf["multihead_attn"])
+        _port_dense(ref_tf.pooler.dense, our_tf["pooler"]["dense"])
+    _port_ln(ref.norm, p["norm"])
+    _port_dense(ref.pooler1.dense, p["pooler1"]["dense"])
+    _port_dense(ref.pooler2.dense, p["pooler2"]["dense"])
+    _port_dense(ref.classifier, p["classifier"])
+
+    # ---- compare -----------------------------------------------------------
+    out_j = ours.apply(variables, jnp.asarray(path),
+                       [jnp.asarray(omic1), jnp.asarray(omic2)],
+                       deterministic=True)
+    with torch.no_grad():
+        out_t = ref(torch.from_numpy(path),
+                    omic_list=[torch.from_numpy(omic1),
+                               torch.from_numpy(omic2)])
+    names = ["logits", "hazards", "S", "risk", "feature1", "feature2",
+             "att1", "att2"]
+    for n, a, b in zip(names, out_j, out_t):
+        np.testing.assert_allclose(np.asarray(a), b.numpy(), atol=5e-4,
+                                   rtol=5e-3, err_msg=f"TeacherNet.{n}")
+
+
+def test_full_student_net_matches_reference(rng):
+    """Pathology-only StudentNet with DPC-KNN token merge, end to end
+    (reference models/Modules.py:428-457).  The cluster tie-break noise is
+    pinned on both sides."""
+    import argparse
+
+    mod = _load_ref_modules_pkg()
+    args = argparse.Namespace(path_dim=128, label_dim=4, attn_dim=2,
+                              path_cluster_num=2 / 256)  # 2 clusters at N=256
+    ref = mod.StudentNet(args)
+    ref.eval()
+
+    from disentangled_multimodal_learning_tpu.models.teacher_student import (
+        StudentNet)
+
+    ours = StudentNet(label_dim=4, path_dim=128, sample_ratio=2 / 256)
+    B, N = 2, 256
+    path = rng.normal(size=(B, N, 1024)).astype(np.float32)
+    variables = ours.init({"params": jax.random.PRNGKey(0)},
+                          jnp.asarray(path), deterministic=True)
+    p = variables["params"]
+
+    _port_dense(ref._fc1[0], p["_fc1"])
+    enc = p["encoder"]
+    _port_ln(ref.encoder.norm, enc["norm"])
+    _port_params_into_ref(ref.encoder.attn2d, enc["attn2d"])
+    cm = enc["cluster_merge"]
+    _port_ln(ref.encoder.cluster_merge.norm, cm["norm"])
+    _port_dense(ref.encoder.cluster_merge.score, cm["score"])
+    # reference StudentNet defines norm/pooler1 but its forward never uses
+    # them (models/Modules.py:449 commented out) — ours omits them entirely
+    _port_dense(ref.classifier, p["classifier"])
+
+    # pin density tie-break noise on both sides: ours uses PRNGKey(0) in
+    # deterministic mode; give torch the same numbers
+    import jax as _jax
+
+    noise = np.asarray(_jax.random.uniform(_jax.random.PRNGKey(0), (B, N)))
+    orig_rand = torch.rand
+    torch.rand = lambda *a, **k: torch.from_numpy(noise.astype(np.float32))
+    try:
+        with torch.no_grad():
+            out_t = ref(torch.from_numpy(path))
+    finally:
+        torch.rand = orig_rand
+    out_j = ours.apply(variables, jnp.asarray(path), deterministic=True)
+    names = ["logits", "hazards", "S", "risk", "feature", "att"]
+    for n, a, b in zip(names, out_j, out_t):
+        np.testing.assert_allclose(np.asarray(a), b.numpy(), atol=5e-4,
+                                   rtol=5e-3, err_msg=f"StudentNet.{n}")
