@@ -416,3 +416,65 @@ def test_full_student_net_matches_reference(rng):
     for n, a, b in zip(names, out_j, out_t):
         np.testing.assert_allclose(np.asarray(a), b.numpy(), atol=5e-4,
                                    rtol=5e-3, err_msg=f"StudentNet.{n}")
+
+
+# ----------------------------------------------------- DeformCrossTransMIL
+def test_deform_cross_trans_mil_matches_reference(rng):
+    """The deformpathomic branch encoder (reference
+    models/DeformCrossTransMIL.py:79-161), attn_dim=2 path (the default;
+    the attn_dim=1 path hard-codes .cuda() in the reference and cannot run
+    on the CPU oracle)."""
+    import argparse
+    import types
+
+    _load_ref_modules_pkg()  # installs fake nystrom_attention + refmodels pkg
+    spec = importlib.util.spec_from_file_location(
+        "refmodels.DeformCrossTransMIL",
+        os.path.join(REF, "models/DeformCrossTransMIL.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["refmodels.DeformCrossTransMIL"] = mod
+    spec.loader.exec_module(mod)
+
+    # NOTE: the reference's attn_dim=2 + return_vgrid=False path CRASHES in
+    # its snapshot (DeformCrossTransMIL.py:71-72 treats the (out, attn) tuple
+    # from DeformCrossAttention2D:342 as a tensor) — another latent reference
+    # bug our implementation fixes.  The oracle comparison therefore runs the
+    # working return_vgrid=True path.
+    args = argparse.Namespace(path_dim=128, attn_dim=2, return_vgrid=True)
+    ref = mod.DeformCrossTransMIL(args, n_classes=4)
+    ref.eval()
+
+    from disentangled_multimodal_learning_tpu.models.deform_mil import (
+        DeformCrossTransMIL)
+
+    ours = DeformCrossTransMIL(label_dim=4, path_dim=128, attn_dim=2,
+                               return_vgrid=True)
+    B, N = 2, 256
+    path = rng.normal(size=(B, N, 1024)).astype(np.float32)
+    omic = rng.normal(size=(B, 128)).astype(np.float32)
+    variables = ours.init({"params": jax.random.PRNGKey(0)},
+                          jnp.asarray(path), jnp.asarray(omic),
+                          deterministic=True)
+    p = variables["params"]
+
+    _port_dense(ref._fc1[0], p["_fc1"])
+    _port_dense(ref.fusion_layer.fusion_layer,
+                p["fusion_layer"]["fusion_layer"])
+    _port_ln(ref.layer3.norm, p["layer3"]["norm"])
+    _port_params_into_ref(ref.layer3.attn2d, p["layer3"]["attn2d"])
+    _port_ln(ref.norm, p["norm"])
+    _port_dense(ref.pooler.dense, p["pooler"]["dense"])
+    _port_dense(ref._fc2, p["_fc2"])
+    _port_dense(ref.multimodal_projection, p["multimodal_projection"])
+
+    out_j = ours.apply(variables, jnp.asarray(path), jnp.asarray(omic),
+                       deterministic=True)
+    with torch.no_grad():
+        out_t = ref(torch.from_numpy(path), torch.from_numpy(omic))
+    # returns (encoded, logits, path_grads, omic, vgrid)
+    np.testing.assert_allclose(np.asarray(out_j[0]), out_t[0].numpy(),
+                               atol=5e-4, rtol=5e-3, err_msg="encoded")
+    np.testing.assert_allclose(np.asarray(out_j[1]), out_t[1].numpy(),
+                               atol=5e-4, rtol=5e-3, err_msg="logits")
+    np.testing.assert_allclose(np.asarray(out_j[4]), out_t[4].numpy(),
+                               atol=5e-4, rtol=5e-3, err_msg="vgrid")
