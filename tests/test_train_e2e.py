@@ -73,6 +73,24 @@ def test_train_baselines(mode):
     assert np.isfinite(metrics[key])
 
 
+@pytest.mark.parametrize("mode,task", [
+    ("uniteacher", "diag2021"),
+    ("cmta", "survival"),
+    ("transmil", "subtype"),
+    ("pathomic_original", "diag2021"),
+    ("pathomic_fg", "grade"),
+    ("pathomic_ensemble", "grade"),
+    ("teacher", "grade"),
+    ("student", "survival"),
+])
+def test_train_remaining_modes(mode, task):
+    cfg = tiny_cfg(mode, task=task)
+    model = define_net(cfg)
+    state, metrics, _ = run_training(cfg, model, tiny_loaders(cfg))
+    key = "cindex" if task == "survival" else "auc"
+    assert np.isfinite(metrics[key])
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = tiny_cfg("student", checkpoints=str(tmp_path))
     model = define_net(cfg)
