@@ -53,3 +53,42 @@ class BagLoader:
             batch = self.dataset.batch(idx)
             batch.pad = pad  # number of duplicated trailing samples
             yield batch
+
+
+class PrefetchLoader:
+    """Background-thread prefetch wrapper: overlaps host-side batch assembly
+    (native IO, numpy stacking) with device compute.  The reference gets this
+    from torch DataLoader workers (reference main.py:118-125, workers=8)."""
+
+    def __init__(self, loader: BagLoader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def set_epoch(self, epoch: int):
+        self.loader.set_epoch(epoch)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        _END = object()
+
+        def producer():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+        t.join()

@@ -139,25 +139,19 @@ def concordance_index_censored(event_indicator, event_time, risk_score,
     t = np.asarray(event_time, dtype=np.float64)
     r = np.asarray(risk_score, dtype=np.float64)
     n = len(t)
-    concordant = 0.0
-    tied = 0.0
-    comparable = 0
-    for i in range(n):
-        if not ev[i]:
-            continue
-        for j in range(n):
-            if i == j:
-                continue
-            if t[j] > t[i] or (t[j] == t[i] and not ev[j]):
-                comparable += 1
-                d = r[i] - r[j]
-                if abs(d) <= tied_tol:
-                    tied += 1
-                elif d > 0:
-                    concordant += 1
-    if comparable == 0:
+    # vectorized over all ordered pairs (i, j), i with event:
+    # comparable when t_j > t_i, or t_j == t_i and j censored
+    ti = t[:, None]
+    tj = t[None, :]
+    comparable = ev[:, None] & ((tj > ti) | ((tj == ti) & ~ev[None, :]))
+    np.fill_diagonal(comparable, False)
+    d = r[:, None] - r[None, :]
+    n_comp = int(comparable.sum())
+    if n_comp == 0:
         return 0.0
-    return float((concordant + 0.5 * tied) / comparable)
+    tied = int((comparable & (np.abs(d) <= tied_tol)).sum())
+    concordant = int((comparable & (d > tied_tol)).sum())
+    return float((concordant + 0.5 * tied) / n_comp)
 
 
 def cindex(all_risk_scores, all_censorships, all_event_times) -> float:

@@ -50,8 +50,12 @@ DEFAULT_CONFIG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def _make_loaders(cfg, train_ds, test_ds):
-    train_loader = BagLoader(train_ds, cfg.batch_size, shuffle=True,
-                             drop_last=True, seed=cfg.seed)
+    from disentangled_multimodal_learning_tpu.data import PrefetchLoader
+
+    train_loader = PrefetchLoader(
+        BagLoader(train_ds, cfg.batch_size, shuffle=True, drop_last=True,
+                  seed=cfg.seed),
+        depth=max(1, int(getattr(cfg, "workers", 0)) or 2))
     test_loader = (BagLoader(test_ds, cfg.batch_size, shuffle=False,
                              drop_last=False, pad_final=False, seed=cfg.seed)
                    if test_ds is not None else None)

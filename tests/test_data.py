@@ -120,3 +120,18 @@ def test_concat_dataset():
     np.testing.assert_array_equal(cat[3][0], b[0][0])
     batch = cat.batch([0, 3, 6])
     assert batch.x_path10.shape == (3, 16, 1024)
+
+
+def test_prefetch_loader_equivalent():
+    from disentangled_multimodal_learning_tpu.data import PrefetchLoader
+
+    ds = SyntheticBagDataset(size=10, fixdim=16, seed=0)
+    base = BagLoader(ds, batch_size=2, shuffle=True, seed=5)
+    pre = PrefetchLoader(BagLoader(ds, batch_size=2, shuffle=True, seed=5))
+    base.set_epoch(3)
+    pre.set_epoch(3)
+    a = [b.label for b in base]
+    b = [b.label for b in pre]
+    assert len(a) == len(b) == len(pre)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)

@@ -280,3 +280,44 @@ def test_gene_guided_cluster(rng):
     np.testing.assert_array_equal(idx, np.zeros((1, 6)))
     idx2 = np.asarray(gene_guided_cluster(x, far, near))
     np.testing.assert_array_equal(idx2, np.ones((1, 6)))
+
+
+def test_kl_cosine_lowrank_ce_surv_match_torch(rng):
+    y = rng.normal(size=(4, 6)).astype(np.float32)
+    yh = rng.normal(size=(4, 6)).astype(np.float32)
+    ty, tyh = torch.from_numpy(y), torch.from_numpy(yh)
+    # KLLoss (reference cmta_utils.py:1199-1201)
+    want = F.kl_div(tyh.softmax(dim=-1).log(), ty.softmax(dim=-1),
+                    reduction="sum").item()
+    got = float(L.kl_loss(jnp.asarray(y), jnp.asarray(yh)))
+    assert abs(got - want) < 1e-4
+    # CosineLoss
+    want_c = (1 - F.cosine_similarity(ty, tyh, dim=1)).numpy()
+    got_c = np.asarray(L.cosine_loss(jnp.asarray(y), jnp.asarray(yh)))
+    np.testing.assert_allclose(got_c, want_c, atol=1e-5)
+    # low-rank loss: sum of singular values except the largest
+    m = rng.normal(size=(5, 3)).astype(np.float32)
+    want_l = torch.svd(torch.from_numpy(m))[1][1:].sum().item()
+    got_l = float(L.low_rank_loss(jnp.asarray(m)))
+    assert abs(got_l - want_l) < 1e-4
+    # ce_surv (reference cmta_utils.py:1140-1156)
+    B, K = 5, 4
+    h = 1 / (1 + np.exp(-rng.normal(size=(B, K)).astype(np.float32)))
+    S = np.cumprod(1 - h, 1)
+    Y = rng.integers(0, K, size=B)
+    c = rng.integers(0, 2, size=B)
+    th, tS = torch.from_numpy(h), torch.from_numpy(S)
+    tY = torch.from_numpy(Y).view(-1, 1)
+    tc = torch.from_numpy(c).view(-1, 1).float()
+    Sp = torch.cat([torch.ones_like(tc), tS], 1)
+    eps = 1e-7
+    reg = -(1 - tc) * (torch.log(torch.gather(Sp, 1, tY) + eps)
+                       + torch.log(torch.gather(th, 1, tY).clamp(min=eps)))
+    sY = torch.gather(tS, 1, tY)
+    ce_l = -tc * torch.log(sY.clamp(min=eps)) - (1 - tc) * torch.log(
+        (1 - sY).clamp(min=eps))
+    alpha = 0.4
+    want_s = ((1 - alpha) * ce_l + alpha * reg).mean().item()
+    got_s = float(L.ce_surv_loss(jnp.asarray(h), jnp.asarray(S), jnp.asarray(Y),
+                                 jnp.asarray(c), alpha=alpha))
+    assert abs(got_s - want_s) < 1e-5
