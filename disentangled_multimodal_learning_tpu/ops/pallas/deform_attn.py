@@ -1,5 +1,12 @@
 """Fused deformable-attention Pallas TPU kernel (the flagship hot op).
 
+Future-direction notes (round 2+), from the retrieved acceleration literature
+(PAPERS.md; patterns only): DEFA-style pruning-assisted grid sampling (skip
+near-zero bilinear weights), QUILL-style cache-local tiling of the sampled kv
+positions, and multi-scale parallel processing of the two magnification
+branches could combine with the wide-layout CPB kernel below.
+
+
 Computes, per (batch*head, query-tile):
 
     pos  = sign(gq - gkv) * log1p(|gq - gkv|)          # SwinV2 CPB input
