@@ -478,3 +478,126 @@ def test_deform_cross_trans_mil_matches_reference(rng):
                                atol=5e-4, rtol=5e-3, err_msg="logits")
     np.testing.assert_allclose(np.asarray(out_j[4]), out_t[4].numpy(),
                                atol=5e-4, rtol=5e-3, err_msg="vgrid")
+
+
+# ------------------------------------------- FULL two-scale TeachersNet
+def _load_ref_model_py():
+    """Import the reference models/model.py with stubs for its absent deps
+    (lifelines/sksurv/imblearn/wandb/torchvision + pip nystrom_attention)."""
+    import importlib.machinery
+    import types
+
+    if "refm.model" in sys.modules:
+        return sys.modules["refm.model"]
+
+    def fake(name, **attrs):
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        return m
+
+    fake("lifelines")
+    fake("lifelines.utils", concordance_index=lambda *a, **k: 0.5)
+    fake("sksurv")
+    fake("sksurv.metrics", concordance_index_censored=lambda *a, **k: (0.5,))
+    fake("imblearn")
+    fake("imblearn.over_sampling", RandomOverSampler=object)
+    fake("imblearn.metrics", sensitivity_score=lambda *a, **k: 0,
+         specificity_score=lambda *a, **k: 0)
+    fake("wandb")
+    fake("torchvision")
+    _load_ref_modules_pkg()  # installs fake nystrom_attention
+    import types as _t
+
+    pkg_u = _t.ModuleType("utils")
+    pkg_u.__path__ = [os.path.join(REF, "utils")]
+    sys.modules["utils"] = pkg_u
+    pkg = _t.ModuleType("refm")
+    pkg.__path__ = [os.path.join(REF, "models")]
+    sys.modules["refm"] = pkg
+    spec = importlib.util.spec_from_file_location(
+        "refm.model", os.path.join(REF, "models/model.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["refm.model"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _port_maxnet(ref_maxnet, p):
+    for i in range(4):
+        _port_dense(ref_maxnet.encoder[i][0], p[f"encoder_{i}"])
+    _port_dense(ref_maxnet.classifier[0], p["classifier"])
+
+
+def _port_teacher_net(ref_tn, p):
+    _port_dense(ref_tn._fc1[0], p["_fc1"])
+    enc = p["encoder"]
+    _port_ln(ref_tn.encoder.norm, enc["norm"])
+    _port_params_into_ref(ref_tn.encoder.attn2d_omic1, enc["attn2d_omic1"])
+    _port_params_into_ref(ref_tn.encoder.attn2d_omic2, enc["attn2d_omic2"])
+    _port_dense(ref_tn.encoder.fusion_layer.fusion_layer,
+                enc["fusion_layer"]["fusion_layer"])
+    for i in (1, 2):
+        ref_tf = getattr(ref_tn.encoder, f"transfusion_layer{i}")
+        our_tf = enc[f"transfusion_layer{i}"]
+        _port_ln(ref_tf.norm, our_tf["norm"])
+        _port_torch_mha(ref_tf.multihead_attn, our_tf["multihead_attn"])
+        _port_dense(ref_tf.pooler.dense, our_tf["pooler"]["dense"])
+    _port_ln(ref_tn.norm, p["norm"])
+    _port_dense(ref_tn.pooler1.dense, p["pooler1"]["dense"])
+    _port_dense(ref_tn.pooler2.dense, p["pooler2"]["dense"])
+    _port_dense(ref_tn.classifier, p["classifier"])
+
+
+def test_full_teachers_net_two_scale_matches_reference(rng):
+    """The COMPLETE flagship: two-scale TeachersNet with both MaxNet omic
+    encoders, max_confidence logit combination and the survival chain
+    (reference models/model.py:795-878) — same weights, same inputs, same
+    six output dicts."""
+    import argparse
+
+    mod = _load_ref_model_py()
+    args = argparse.Namespace(
+        path_dim=128, label_dim=4, attn_dim=2, path_cluster_num=0.0008,
+        input_size_omic_tumor=59, input_size_omic_immune=361, omic_dim=128,
+        dropout_rate=0.25, return_grad=False, init_type="max",
+        combination_type_teas="max_confidence")
+    ref = mod.TeachersNet(args)
+    ref.eval()
+
+    from disentangled_multimodal_learning_tpu.models.teacher_student import (
+        TeachersNet)
+
+    ours = TeachersNet(label_dim=4, input_size_omic_tumor=59,
+                       input_size_omic_immune=361, path_dim=128, omic_dim=128,
+                       dropout_rate=0.25, combination_type="max_confidence")
+    B, N = 2, 256
+    x10 = rng.normal(size=(B, N, 1024)).astype(np.float32)
+    x20 = rng.normal(size=(B, N, 1024)).astype(np.float32)
+    xt = rng.normal(size=(B, 59)).astype(np.float32)
+    xi = rng.normal(size=(B, 361)).astype(np.float32)
+    variables = ours.init({"params": jax.random.PRNGKey(0)},
+                          jnp.asarray(x10), jnp.asarray(x20),
+                          jnp.asarray(xt), jnp.asarray(xi),
+                          deterministic=True)
+    p = variables["params"]
+
+    _port_maxnet(ref.omic_net_tumor, p["omic_net_tumor"])
+    _port_maxnet(ref.omic_net_immune, p["omic_net_immune"])
+    _port_teacher_net(ref.teacher10_net, p["teacher10_net"])
+    _port_teacher_net(ref.teacher20_net, p["teacher20_net"])
+
+    out_j = ours.apply(variables, jnp.asarray(x10), jnp.asarray(x20),
+                       jnp.asarray(xt), jnp.asarray(xi), deterministic=True)
+    with torch.no_grad():
+        out_t = ref(torch.from_numpy(x10), torch.from_numpy(x20),
+                    torch.from_numpy(xt), torch.from_numpy(xi))
+    dict_names = ["feature", "att", "logits", "hazards", "S", "risk"]
+    for dn, dj, dt in zip(dict_names, out_j, out_t):
+        assert set(dj.keys()) == set(dt.keys()), (dn, dj.keys(), dt.keys())
+        for k in dj:
+            np.testing.assert_allclose(
+                np.asarray(dj[k]), dt[k].numpy(), atol=1e-3, rtol=1e-2,
+                err_msg=f"TeachersNet {dn}[{k}]")
