@@ -5,6 +5,14 @@ Replaces the reference's torch DataLoader + DistributedSampler
 the loader produces GLOBAL batches (batch_size x data-mesh-size samples) which
 the train step shards over the ``data`` mesh axis — the JAX analogue of
 per-rank DistributedSampler shards.
+
+Partial final batch (torch DataLoader drop_last=False): instead of yielding a
+short batch (a new XLA shape => recompile), the final batch is PADDED to full
+size by repeating the last sample and ``batch.pad`` records the duplicate
+count; the Evaluator strips the padded rows before computing metrics, so
+eval covers exactly the reference's sample set.  Training loops use
+drop_last=True (as the reference's DistributedSampler effectively does);
+training with drop_last=False would slightly overweight the final sample.
 """
 
 from __future__ import annotations
@@ -14,7 +22,9 @@ import numpy as np
 
 class BagLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 drop_last: bool = True, seed: int = 0, pad_final: bool = False):
+                 drop_last: bool = True, seed: int = 0, pad_final: bool = True):
+        # pad_final is kept for API compatibility; drop_last=False always
+        # pads (see module docstring) so no sample is ever silently dropped.
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
@@ -30,7 +40,7 @@ class BagLoader:
 
     def __len__(self):
         n = len(self.dataset)
-        if self.drop_last and not self.pad_final:
+        if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
@@ -41,14 +51,11 @@ class BagLoader:
             rng = np.random.default_rng(self.seed * 100_003 + self._epoch)
             rng.shuffle(order)
         bs = self.batch_size
-        stop = (n // bs) * bs if (self.drop_last and not self.pad_final) else n
+        stop = (n // bs) * bs if self.drop_last else n
         for start in range(0, stop, bs):
             idx = order[start: start + bs]
-            pad = 0
-            if len(idx) < bs:
-                if not self.pad_final:
-                    break
-                pad = bs - len(idx)
+            pad = bs - len(idx)
+            if pad:
                 idx = np.concatenate([idx, np.repeat(idx[-1], pad)])
             batch = self.dataset.batch(idx)
             batch.pad = pad  # number of duplicated trailing samples
@@ -58,7 +65,12 @@ class BagLoader:
 class PrefetchLoader:
     """Background-thread prefetch wrapper: overlaps host-side batch assembly
     (native IO, numpy stacking) with device compute.  The reference gets this
-    from torch DataLoader workers (reference main.py:118-125, workers=8)."""
+    from torch DataLoader workers (reference main.py:118-125, workers=8).
+
+    The producer thread is stoppable: if the consumer abandons the generator
+    early (e.g. ``next(iter(loader))`` to grab one init sample), generator
+    close sets the stop event and joins the thread instead of leaving it
+    blocked on a full queue holding batch memory for the process lifetime."""
 
     def __init__(self, loader: BagLoader, depth: int = 2):
         self.loader = loader
@@ -75,20 +87,44 @@ class PrefetchLoader:
         import threading
 
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
         _END = object()
 
         def producer():
             try:
                 for batch in self.loader:
-                    q.put(batch)
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             finally:
-                q.put(_END)
+                # blocking-with-stop put: the queue may be full of unconsumed
+                # batches; a put_nowait here would drop _END and deadlock the
+                # consumer's q.get()
+                while not stop.is_set():
+                    try:
+                        q.put(_END, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                yield item
+        finally:
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5)

@@ -27,6 +27,17 @@ def _softmax_np(x):
     return e / e.sum(-1, keepdims=True)
 
 
+def _strip_pad(out, batch_size: int, pad: int):
+    """Drop the trailing ``pad`` duplicated samples from every per-sample
+    array in a model output pytree (leaves whose leading dim == batch_size)."""
+    keep = batch_size - pad
+    return jax.tree_util.tree_map(
+        lambda a: a[:keep]
+        if (hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == batch_size)
+        else a,
+        out)
+
+
 class Evaluator:
     """Caches the jitted eval step across epochs/folds."""
 
@@ -40,8 +51,14 @@ class Evaluator:
         for batch in loader:
             arrays = batch_to_arrays(batch)
             out = self.step(state.params, state.batch_stats, arrays)
-            outs.append(jax.device_get(out))
-            labels.append(np.asarray(batch.label))
+            out = jax.device_get(out)
+            pad = getattr(batch, "pad", 0)
+            label = np.asarray(batch.label)
+            if pad:  # strip loader-duplicated rows (loader.py pad contract)
+                out = _strip_pad(out, label.shape[0], pad)
+                label = label[: label.shape[0] - pad]
+            outs.append(out)
+            labels.append(label)
         return outs, np.concatenate(labels, axis=0)
 
     # -- teacher/student dict models (epochDistillVal, utils/metrics.py:97-332)
@@ -87,9 +104,13 @@ class Evaluator:
             att_dict = out[1]
             key = sorted(att_dict.keys())[0]
             att = np.asarray(att_dict[key])  # [B, H, N, K]
+            pad = getattr(batch, "pad", 0)
+            if pad:
+                att = att[: att.shape[0] - pad]
             maps.append(att.max(axis=1).mean(axis=-1))  # [B, N]
             if batch.wsi_id is not None:
-                ids.extend(list(batch.wsi_id))
+                wsi = list(batch.wsi_id)
+                ids.extend(wsi[: len(wsi) - pad] if pad else wsi)
         np.savez(path, attention=np.concatenate(maps), wsi_ids=np.asarray(ids))
         return path
 

@@ -73,6 +73,56 @@ def test_loader_pad_final():
     assert batches[1].pad == 3
 
 
+def test_loader_drop_last_false_covers_all_samples():
+    """ADVICE r1 (high): drop_last=False must not silently drop the final
+    partial batch — it pads it and records batch.pad, and __len__ matches
+    the number of yielded batches."""
+    ds = SyntheticBagDataset(size=10, fixdim=16, seed=0)
+    loader = BagLoader(ds, batch_size=4, shuffle=False, drop_last=False,
+                       pad_final=False)
+    batches = list(loader)
+    assert len(batches) == 3 == len(loader)
+    assert [b.pad for b in batches] == [0, 0, 2]
+    # every dataset sample appears among the non-padded rows exactly once
+    labels = np.concatenate(
+        [np.asarray(b.label)[: b.label.shape[0] - b.pad] for b in batches])
+    expect = np.stack([ds[i][5] for i in range(10)])
+    np.testing.assert_array_equal(labels, expect)
+
+
+def test_evaluator_strip_pad():
+    from disentangled_multimodal_learning_tpu.train.evaluation import _strip_pad
+
+    out = ({"a": np.arange(8).reshape(4, 2)}, [np.arange(4), np.float32(1.0)],
+           np.arange(3))  # last leaf: batch-dim mismatch -> untouched
+    stripped = _strip_pad(out, 4, 1)
+    assert stripped[0]["a"].shape == (3, 2)
+    assert stripped[1][0].shape == (3,)
+    assert stripped[2].shape == (3,)
+
+
+def test_prefetch_loader_abandoned_consumer_joins_thread():
+    """ADVICE r1 (low): abandoning the prefetch generator (next(iter(...)))
+    must not leak a producer thread blocked on a full queue."""
+    import threading
+
+    from disentangled_multimodal_learning_tpu.data import PrefetchLoader
+
+    ds = SyntheticBagDataset(size=12, fixdim=16, seed=0)
+    pre = PrefetchLoader(BagLoader(ds, batch_size=2, shuffle=False), depth=1)
+    before = threading.active_count()
+    it = iter(pre)
+    next(it)
+    it.close()  # what GC does when the generator is abandoned
+    # producer must exit promptly
+    import time
+
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.01)
+    assert threading.active_count() <= before
+
+
 def test_kfold_patient_split_deterministic_and_disjoint():
     patients = np.array([f"P{i % 7}" for i in range(21)])
     folds1 = list(kfold_patient_split(patients, k=3, seed=42))
