@@ -135,8 +135,11 @@ class CPB(nn.Module):
         w3 = self.param("mlp_out_kernel", lecun, (self.dim, out_per_group))
         b3 = self.param("mlp_out_bias", zeros, (out_per_group,))
 
+        # the Pallas kernel hardcodes the sign*log1p distance transform
+        # (ops/pallas/deform_attn.py), so log_distance=False must take the
+        # XLA path
         use_pallas = (CPB_USE_PALLAS and P == 2 and self.depth == 2
-                      and out_per_group == 1
+                      and out_per_group == 1 and self.log_distance
                       and jax.default_backend() == "tpu")
         if use_pallas:
             from ..ops.pallas.deform_attn import HID, cpb_bias_from_grids

@@ -97,12 +97,21 @@ def _task_loss_from_dicts(task, label, logits_dict, hazards_dict, S_dict, key10,
     return l10 + l20
 
 
+def task_class_weights(cfg, task: str):
+    """CE class weights for ``task``.  external_eval removes the weights ONLY
+    for diag2021 (reference train_test.py:24-29); grade/subtype losses stay
+    weighted unconditionally."""
+    if task == "survival" or (task == "diag2021" and cfg.external_eval):
+        return None
+    return cfg.class_weights
+
+
 def make_train_step(model, cfg, tx: optax.GradientTransformation,
                     teacher_model=None) -> Callable:
     """Build the jitted global-batch train step for ``cfg.mode``."""
     mode = cfg.mode
     task = cfg.task_type
-    cw = None if (task == "survival" or cfg.external_eval) else cfg.class_weights
+    cw = task_class_weights(cfg, task)
     label_col = int(TASK_LABEL_COL[task])
     multiscale_attention = bool(cfg.multiscale_attention)
     gradient_modulate = bool(cfg.gradient_modulate)

@@ -321,3 +321,21 @@ def test_kl_cosine_lowrank_ce_surv_match_torch(rng):
     got_s = float(L.ce_surv_loss(jnp.asarray(h), jnp.asarray(S), jnp.asarray(Y),
                                  jnp.asarray(c), alpha=alpha))
     assert abs(got_s - want_s) < 1e-5
+
+
+def test_external_eval_unweights_only_diag2021():
+    """Reference train_test.py:24-29: external_eval strips the class weights
+    from the diag2021 CE only; grade/subtype stay weighted."""
+    from disentangled_multimodal_learning_tpu.config import Config
+    from disentangled_multimodal_learning_tpu.train.steps import task_class_weights
+
+    ext = Config(task_type="diag2021", label_dim=4, external_eval=True).validate()
+    assert task_class_weights(ext, "diag2021") is None
+    grade_ext = Config(task_type="grade", label_dim=3, external_eval=True).validate()
+    assert task_class_weights(grade_ext, "grade") == (1.47, 1.51, 1.0)
+    sub_ext = Config(task_type="subtype", label_dim=3, external_eval=True).validate()
+    assert task_class_weights(sub_ext, "subtype") == (1.0, 1.72, 2.43)
+    internal = Config(task_type="diag2021", label_dim=4).validate()
+    assert task_class_weights(internal, "diag2021") == (1.0, 4.15, 2.93, 2.43)
+    assert task_class_weights(Config(task_type="survival", label_dim=4).validate(),
+                              "survival") is None
