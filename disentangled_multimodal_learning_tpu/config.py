@@ -137,6 +137,11 @@ class Config:
     epochs: int = 10
     lr: float = 2.0e-4
     lr_policy: str = "cosine"
+    # lr_policy="plateau" knobs (torch ReduceLROnPlateau defaults the
+    # reference uses, models/model.py:133-136)
+    plateau_factor: float = 0.2
+    plateau_patience: int = 5
+    plateau_threshold: float = 0.01
     dropout_rate: float = 0.1
     return_grad: bool = False
     optimizer: str = "adamw"

@@ -148,8 +148,8 @@ class Evaluator:
     def __call__(self, state, loader, model_type: str | None = None):
         if self.mode in ("teacher", "uniteacher", "student", "multiscale",
                          "distillation"):
-            mt = model_type or ("student" if self.mode in ("student", "distillation")
-                                else "teacher")
+            mt = model_type or {"student": "student", "distillation": "student",
+                                "multiscale": "scales"}.get(self.mode, "teacher")
             return self.distill_val(state, loader, mt)
         if self.mode in ("deformpathomic", "pathomic", "pathomic_original",
                          "pathomic_fg", "pathomic_ensemble"):

@@ -23,7 +23,7 @@ import numpy as np
 from ..parallel.mesh import get_mesh, shard_batch
 from ..utils.checkpoint import metric_stamped_name, save_checkpoint
 from .evaluation import Evaluator
-from .optim import make_optimizer
+from .optim import ReduceLROnPlateau, make_optimizer, set_learning_rate
 from .state import TrainState
 from .steps import batch_to_arrays, make_train_step
 from ..models.factory import model_inputs
@@ -73,13 +73,22 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
         mt = model_type
     elif mode in ("teacher", "uniteacher"):
         mt = "teacher"
-    elif mode in ("student", "distillation", "multiscale"):
-        mt = "student"  # multiscale's combined logits are the student ensemble
+    elif mode in ("student", "distillation"):
+        mt = "student"
+    elif mode == "multiscale":
+        # joint model reports all five tag sets (reference epochScalesVal,
+        # utils/metrics.py:335-493); headline metric = combined student
+        mt = "scales"
     else:
         mt = "fused"
 
+    plateau = (ReduceLROnPlateau(cfg.plateau_factor, cfg.plateau_patience,
+                                 cfg.plateau_threshold)
+               if cfg.lr_policy == "plateau" else None)
+
     for epoch in range(cfg.epochs):
         train_loader.set_epoch(epoch)
+        epoch_losses = []
         for i, batch in enumerate(train_loader):
             arrays = batch_to_arrays(batch)
             if mesh is not None:
@@ -87,6 +96,8 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
             rng, step_rng = jax.random.split(rng)
             state, metrics = train_step(state, arrays, step_rng, teacher_vars)
             cur_iters += 1
+            if plateau is not None:
+                epoch_losses.append(metrics["loss"])
 
             if (cfg.eval_during_training and test_loader is not None
                     and cur_iters % cfg.eval_every_iters == 0):
@@ -97,6 +108,10 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
                       % (cfg.cur_fold, cfg.kfold, epoch, cfg.epochs, i + 1,
                          len(train_loader), time.time() - start,
                          float(m["loss"])), end="", flush=True)
+
+        if plateau is not None and epoch_losses:
+            mean_loss = float(np.mean(jax.device_get(epoch_losses)))
+            state = set_learning_rate(state, cfg.lr * plateau.step(mean_loss))
 
     final_metrics = _final_eval(cfg, evaluator, state, test_loader, mt)
     ckpt_path = None
@@ -111,7 +126,7 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
 
 def _metricdicts_to_flat(cfg, result, mt) -> dict:
     """Normalize evaluator output into {'auc':..,'acc':..} / {'cindex':..}."""
-    tag = {"teacher": "teas", "student": "stus"}.get(mt, mt)
+    tag = {"teacher": "teas", "student": "stus", "scales": "stus"}.get(mt, mt)
     if cfg.task_type == "survival":
         if isinstance(result, dict):
             return {"cindex": result[f"cindex_{tag}"], **result}
@@ -210,5 +225,6 @@ def testBaselineModel(model, dataloader, logger, args, state=None):
 
 
 def testMultiScaleModel(model, dataloader, logger, args, state=None):
-    """Also missing from the reference (inference.py:9)."""
-    return _run_test(model, dataloader, args, "student", state)
+    """Also missing from the reference (inference.py:9); reports all five
+    tag sets like epochScalesVal (reference utils/metrics.py:335-493)."""
+    return _run_test(model, dataloader, args, "scales", state)

@@ -139,3 +139,15 @@ def test_training_reduces_loss():
             state, m = step(state, batch_to_arrays(batch), k, None)
             losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_train_multiscale_reports_all_scale_tags():
+    """VERDICT r1 #5: joint multiscale training must report the teacher-scale
+    metrics too (reference epochScalesVal, utils/metrics.py:335-493)."""
+    cfg = tiny_cfg("multiscale")
+    model = define_net(cfg)
+    state, metrics, _ = run_training(cfg, model, tiny_loaders(cfg))
+    assert np.isfinite(metrics["auc"])  # headline = combined student ("stus")
+    for tag in ("tea10", "tea20", "stu10", "stu20", "stus"):
+        assert f"auc_{tag}" in metrics["detail"]["auc"]
+        assert f"acc_{tag}" in metrics["detail"]["acc"]
