@@ -237,3 +237,56 @@ def test_run_training_plateau_reduces_lr():
     # patience=0: any non-improving epoch reduces; with random tiny data and
     # 6 epochs at lr=0.1 at least one reduction is effectively certain
     assert current_learning_rate(state) < 0.1
+
+
+def test_integrated_gradients_linear_equals_x_times_w():
+    """VERDICT r1 #7 'done' criterion: on a linear model, IG == x*w exactly
+    (so IG/x recovers the weights)."""
+    import jax.numpy as jnp
+
+    from disentangled_multimodal_learning_tpu.utils.importance import (
+        integrated_gradients)
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=8).astype(np.float32)
+    x = rng.normal(size=(5, 8)).astype(np.float32)
+    ig = integrated_gradients(lambda xo: xo @ jnp.asarray(w), x, steps=8)
+    np.testing.assert_allclose(ig, x * w, rtol=1e-5, atol=1e-6)
+
+
+def test_integrated_gradients_completeness_on_mlp():
+    """Attributions sum to f(x) - f(baseline) (the SHAP/IG completeness
+    axiom) on a nonlinear model, within quadrature error."""
+    import jax.numpy as jnp
+
+    from disentangled_multimodal_learning_tpu.utils.importance import (
+        integrated_gradients)
+
+    rng = np.random.default_rng(1)
+    w1 = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+
+    def f(xo):
+        return jnp.tanh(xo @ w1) @ w2
+
+    x = rng.normal(size=(4, 8)).astype(np.float32)
+    ig = integrated_gradients(f, x, steps=256)
+    np.testing.assert_allclose(ig.sum(axis=1), np.asarray(f(jnp.asarray(x))),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_integrated_gradients_importance_omic_model():
+    from disentangled_multimodal_learning_tpu.train.optim import make_optimizer
+    from disentangled_multimodal_learning_tpu.train.trainers import init_model_state
+    from disentangled_multimodal_learning_tpu.utils.importance import (
+        integrated_gradients_importance)
+
+    cfg = tiny_cfg("omic")
+    model = define_net(cfg)
+    loaders = tiny_loaders(cfg)
+    tx = make_optimizer(cfg, 1)
+    state = init_model_state(model, cfg, next(iter(loaders[0])), tx)
+    imp = integrated_gradients_importance(model, state, cfg, list(loaders[1]),
+                                          steps=4)
+    assert imp.shape == (431,)
+    assert np.isfinite(imp).all() and (imp >= 0).all()
