@@ -25,6 +25,7 @@ class SyntheticBagDataset:
         label_dim: int = 4,
         n_survival_bins: int = 4,
         seed: int = 42,
+        signal_seed: int | None = None,
         args=None,
     ):
         if args is not None:  # mirror reference dataset ctor contract (main.py:104-106)
@@ -41,9 +42,13 @@ class SyntheticBagDataset:
         self.n_survival_bins = n_survival_bins
         self.seed = seed
         rng = np.random.default_rng(seed)
-        # class-conditional signal directions so tasks are learnable
-        self._path_means = rng.normal(0, 0.5, (label_dim, path_dim)).astype(np.float32)
-        self._omic_means = rng.normal(0, 0.5, (label_dim, omic_dim)).astype(np.float32)
+        # class-conditional signal directions so tasks are learnable; pass the
+        # SAME signal_seed to a train and a test dataset (with different
+        # seeds) to make held-out generalization measurable
+        sig_rng = (np.random.default_rng(signal_seed)
+                   if signal_seed is not None else rng)
+        self._path_means = sig_rng.normal(0, 0.5, (label_dim, path_dim)).astype(np.float32)
+        self._omic_means = sig_rng.normal(0, 0.5, (label_dim, omic_dim)).astype(np.float32)
         self._labels = rng.integers(0, label_dim, size=size)
         self._grade = rng.integers(0, 3, size=size)
         self._subtype = rng.integers(0, 3, size=size)

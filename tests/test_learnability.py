@@ -1,0 +1,94 @@
+"""Synthetic learnability proof (VERDICT r1 #3): oracle-parity tests prove the
+forward math; these prove the TRAINING LOOP learns — gradients through
+gradient modulation, the 1000x PathBatchLoss, the OmicDomainScaleLoss, and
+the vgrid batch-sim loss all reduce a separable synthetic problem to
+near-perfect eval AUC.
+
+SyntheticBagDataset plants class-conditional mean shifts in every patch and
+omic dim (data/synthetic.py), so diag labels are linearly separable; eval
+uses a held-out set from the same class-conditional distribution."""
+
+import jax
+import numpy as np
+import pytest
+
+from disentangled_multimodal_learning_tpu.config import Config
+from disentangled_multimodal_learning_tpu.data import BagLoader, SyntheticBagDataset
+from disentangled_multimodal_learning_tpu.models.factory import define_net
+from disentangled_multimodal_learning_tpu.train.evaluation import Evaluator
+from disentangled_multimodal_learning_tpu.train.optim import make_optimizer
+from disentangled_multimodal_learning_tpu.train.steps import (
+    batch_to_arrays, make_train_step)
+from disentangled_multimodal_learning_tpu.train.trainers import (
+    _metricdicts_to_flat, init_model_state)
+
+
+def _train_and_eval(mode, n_steps=200, lr=1e-3, **kw):
+    base = dict(mode=mode, task_type="diag2021", label_dim=4, fixdim=64,
+                batch_size=4, eval_during_training=False, checkpoints="#",
+                debug=True, seed=0, lr=lr, optimizer="adamw",
+                lr_policy="cosine")
+    base.update(kw)
+    cfg = Config(**base).validate()
+    cfg.epochs = max(1, n_steps // 4)  # 16 samples / batch 4 = 4 steps/epoch
+
+    # same class-signal directions (signal_seed), different samples (seed)
+    train = SyntheticBagDataset(size=16, fixdim=cfg.fixdim, label_dim=4,
+                                seed=1, signal_seed=7, args=cfg)
+    test = SyntheticBagDataset(size=16, fixdim=cfg.fixdim, label_dim=4, seed=2,
+                               signal_seed=7, args=cfg)
+    train_loader = BagLoader(train, cfg.batch_size, seed=0)
+    test_loader = BagLoader(test, cfg.batch_size, shuffle=False,
+                            drop_last=False)
+
+    model = define_net(cfg)
+    tx = make_optimizer(cfg, len(train_loader))
+    state = init_model_state(model, cfg, next(iter(train_loader)), tx)
+    step = jax.jit(make_train_step(model, cfg, tx), donate_argnums=(0,))
+
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for epoch in range(cfg.epochs):
+        train_loader.set_epoch(epoch)
+        for batch in train_loader:
+            rng, k = jax.random.split(rng)
+            state, m = step(state, batch_to_arrays(batch), k, None)
+            # deformpathomic logs its task loss as "loss3" (reference naming)
+            losses.append(m["taskloss"] if "taskloss" in m else m["loss3"])
+    losses = np.asarray(jax.device_get(losses), dtype=np.float64)
+
+    mt = {"teacher": "teacher", "student": "student"}.get(mode, "fused")
+    result = Evaluator(model, cfg)(state, test_loader, mt if mode != "deformpathomic" else None)
+    flat = _metricdicts_to_flat(cfg, result, mt)
+    return losses, flat["auc"]
+
+
+def _assert_learned(losses, auc, min_drop=0.5, min_auc=0.9):
+    first = float(losses[:5].mean())
+    last = float(losses[-5:].mean())
+    assert last < (1.0 - min_drop) * first, (
+        f"train loss did not drop >{min_drop:.0%}: {first:.4f} -> {last:.4f}")
+    assert auc > min_auc, f"held-out AUC {auc:.4f} <= {min_auc}"
+
+
+def test_teacher_learns_separable_synthetic():
+    """Covers weighted-CE on both scales + OmicDomainScaleLoss +
+    gradient modulation (reference train_test.py:17-230)."""
+    losses, auc = _train_and_eval("teacher", gradient_modulate=True,
+                                  multiscale_attention=True)
+    _assert_learned(losses, auc)
+
+
+def test_student_learns_separable_synthetic():
+    """Covers the 1000x PathBatchLoss attention-consistency path and the
+    DPC-KNN cluster merge gradients (reference train_test.py:342-435)."""
+    losses, auc = _train_and_eval("student", multiscale_attention=True)
+    _assert_learned(losses, auc)
+
+
+def test_deformpathomic_learns_separable_synthetic():
+    """Covers the fused-classifier loss, vgrid batch-sim loss, and fused
+    gradient modulation (reference train_test.py:784-981)."""
+    losses, auc = _train_and_eval("deformpathomic", gradient_modulate=True,
+                                  return_vgrid=True)
+    _assert_learned(losses, auc)
