@@ -132,6 +132,65 @@ def test_deform2d_vgrid_matches_reference(ref_attn2d, rng):
                                atol=2e-4, rtol=1e-3)
 
 
+def test_deform2d_backward_matches_reference(ref_attn2d, rng):
+    """Backward parity (VERDICT r1 #10): gradients of a scalar readout of
+    (out, attn) wrt both inputs and representative params match torch
+    autograd through the reference module — covering the grid-sample
+    backward (our matmul-gather transpose vs torch scatter), the CPB MLP
+    backward, and the softmax/einsum chain."""
+    from disentangled_multimodal_learning_tpu.models.deform_attention import (
+        DeformCrossAttention2D)
+
+    B, N, C = 2, 256, 128
+    x1 = rng.normal(size=(B, N, C)).astype(np.float32)
+    x2 = rng.normal(size=(B, N, C)).astype(np.float32)
+    w_out = rng.normal(size=(B, N, C)).astype(np.float32)
+
+    ours = DeformCrossAttention2D(dim=128, dropout=0.0)
+    variables = ours.init({"params": jax.random.PRNGKey(0)},
+                          jnp.asarray(x1), jnp.asarray(x2), deterministic=True)
+    _, attn_probe = ours.apply(variables, jnp.asarray(x1), jnp.asarray(x2),
+                               deterministic=True)
+    w_attn = rng.normal(size=attn_probe.shape).astype(np.float32)
+
+    def loss_fn(params, a, b):
+        out, attn = ours.apply({"params": params}, a, b, deterministic=True)
+        return (out * w_out).sum() + (attn * jnp.asarray(w_attn)).sum()
+
+    gp, gx1, gx2 = jax.grad(loss_fn, argnums=(0, 1, 2))(
+        variables["params"], jnp.asarray(x1), jnp.asarray(x2))
+
+    _port_params_into_ref(ref_attn2d, variables["params"])
+    ref_attn2d.zero_grad()
+    x1_t = torch.tensor(x1.transpose(0, 2, 1), requires_grad=True)
+    x2_t = torch.tensor(x2.transpose(0, 2, 1), requires_grad=True)
+    out_t, attn_t = ref_attn2d(x1_t, x2_t)
+    # reference out is [B, C, N]
+    loss_t = ((out_t * torch.from_numpy(w_out.transpose(0, 2, 1))).sum()
+              + (attn_t * torch.from_numpy(w_attn)).sum())
+    loss_t.backward()
+
+    np.testing.assert_allclose(np.asarray(gx1),
+                               x1_t.grad.numpy().transpose(0, 2, 1),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gx2),
+                               x2_t.grad.numpy().transpose(0, 2, 1),
+                               atol=1e-3, rtol=1e-3)
+    # CPB MLP first-layer kernel: ours [in, out] vs torch Linear [out, in]
+    np.testing.assert_allclose(
+        np.asarray(gp["rel_pos_bias"]["mlp_0_kernel"]),
+        ref_attn2d.rel_pos_bias.mlp[0][0].weight.grad.numpy().T,
+        atol=1e-3, rtol=1e-3)
+    # grouped to_v conv: torch [inner, dim/G, 1, 1] -> ours [G, ci, co]
+    gv_t = ref_attn2d.to_v.weight.grad.numpy()[:, :, 0, 0]
+    gv_ours = np.asarray(gp["to_v"]["kernel"])
+    G, ci, co = gv_ours.shape
+    for g in range(G):
+        np.testing.assert_allclose(gv_ours[g],
+                                   gv_t[g * co:(g + 1) * co, :].T,
+                                   atol=1e-3, rtol=1e-3)
+
+
 # --------------------------------------------------------------- Nystrom attn
 def test_nystrom_matches_reference(rng):
     mod = _load_ref_module("models/NystromAttention.py", "ref_nystrom")
