@@ -631,23 +631,38 @@ def cpb_bias(grid_q, grid_kv, w1, b1, w2, b2, w3, b3, chunk_t: int = _CHUNK_T,
 # the kernel is differentiable w.r.t. (fx, fy, params) and JAX chains the
 # gkv gradient through the XLA-side transform.
 
-_WIDE_CHUNK = 8192
+_WIDE_CHUNK = 7200  # 8*7200 divides BH*N*K at production shapes
+# (32*2500*144): the jnp.pad fallback below copies the whole 46 MB
+# stream (~0.7 ms/attention measured), so an exact-dividing chunk
+# matters; shapes that do not divide still pad correctly.
 
 
 def _cpb_wide_fwd_kernel(fx_ref, fy_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                          w3_ref, b3_ref, bias_ref):
-    fx = fx_ref[...]                                    # [1, CH]
+    # 8 chunk-rows per grid step: (8, CH) HBM blocks avoid the 8x sublane
+    # padding that [1, M]-shaped boundary arrays suffer (a 46 MB logical
+    # tensor is 368 MB physical; measured ~3 ms/attention of pure padding
+    # traffic on v5e).  Each row runs the wide MLP independently.
+    fx = fx_ref[...]                                    # [8, CH]
     fy = fy_ref[...]
     w1 = w1_ref[...]                                    # [2, HID]
-    h1 = (w1[0][:, None] * fx + w1[1][:, None] * fy
-          + b1_ref[...][:, None])                       # [HID, CH]
-    h1 = jnp.maximum(h1, 0.0)
-    h2 = jax.lax.dot_general(w2_ref[...], h1, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    h2 = jnp.maximum(h2 + b2_ref[...][:, None], 0.0)    # [HID, CH]
-    bias_ref[...] = (jax.lax.dot_general(
-        w3_ref[...], h2, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + b3_ref[...][:, None])  # [1, CH]
+    b1c = b1_ref[...][:, None]
+    b2c = b2_ref[...][:, None]
+    w2 = w2_ref[...]
+    w3 = w3_ref[...]
+    b3 = b3_ref[...]
+    rows = []
+    for g in range(8):
+        h1 = (w1[0][:, None] * fx[g:g + 1, :]
+              + w1[1][:, None] * fy[g:g + 1, :] + b1c)  # [HID, CH]
+        h1 = jnp.maximum(h1, 0.0)
+        h2 = jax.lax.dot_general(w2, h1, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        h2 = jnp.maximum(h2 + b2c, 0.0)                 # [HID, CH]
+        rows.append(jax.lax.dot_general(
+            w3, h2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b3[0])
+    bias_ref[...] = jnp.concatenate(rows, axis=0)       # [8, CH]
 
 
 def _cpb_wide_bwd_kernel(fx_ref, fy_ref, w1_ref, b1_ref, w2_ref, b2_ref,
@@ -665,50 +680,60 @@ def _cpb_wide_bwd_kernel(fx_ref, fy_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         dw3_ref[...] = jnp.zeros_like(dw3_ref)
         db3_ref[...] = jnp.zeros_like(db3_ref)
 
-    fx = fx_ref[...]
+    fx = fx_ref[...]                                    # [8, CH]
     fy = fy_ref[...]
     w1 = w1_ref[...]
     w2 = w2_ref[...]
     w3 = w3_ref[...]
-    h1 = (w1[0][:, None] * fx + w1[1][:, None] * fy + b1_ref[...][:, None])
-    h1 = jnp.maximum(h1, 0.0)
-    h2 = jax.lax.dot_general(w2, h1, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    h2 = jnp.maximum(h2 + b2_ref[...][:, None], 0.0)
+    b1c = b1_ref[...][:, None]
+    b2c = b2_ref[...][:, None]
+    db8 = dbias_ref[...]                                # [8, CH]
+    ones_h = jnp.ones((1, HID), jnp.float32)
+    dfx_rows = []
+    dfy_rows = []
+    for g in range(8):
+        fxg = fx[g:g + 1, :]
+        fyg = fy[g:g + 1, :]
+        h1 = jnp.maximum(w1[0][:, None] * fxg + w1[1][:, None] * fyg + b1c,
+                         0.0)
+        h2 = jax.lax.dot_general(w2, h1, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        h2 = jnp.maximum(h2 + b2c, 0.0)
 
-    db = dbias_ref[...]                                 # [1, CH]
-    # bias = w3^T h2 + b3
-    dw3_ref[...] += jax.lax.dot_general(
-        h2, db, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)             # [HID, 1]
-    db3_ref[...] += jnp.sum(db, axis=1, keepdims=True)  # [1, 1] lane reduce
-    dh2 = w3 * db                                       # [HID,1]*[1,CH]
-    dh2 = dh2 * (h2 > 0).astype(jnp.float32)
-    # h2 = W2^T h1 -> dW2 = h1 dh2^T, dh1 = W2 dh2
-    dw2_ref[...] += jax.lax.dot_general(
-        h1, dh2, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)             # [HID, HID]
-    db2_ref[...] += jnp.sum(dh2, axis=1, keepdims=True)  # [HID, 1]
-    dh1 = jax.lax.dot_general(w2, dh2, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dh1 = dh1 * (h1 > 0).astype(jnp.float32)            # [HID, CH]
-    db1_ref[...] += jnp.sum(dh1, axis=1, keepdims=True)
-    # h1 = w1x fx + w1y fy + b1 (outer products)
-    dw1_ref[...] += jnp.concatenate([
-        jax.lax.dot_general(dh1, fx, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32).T,
-        jax.lax.dot_general(dh1, fy, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32).T,
-    ], axis=0)                                          # [2, HID]
-    ones_h = jnp.ones((1, dh1.shape[0]), jnp.float32)
-    dfx_ref[...] = jnp.dot(ones_h, dh1 * w1[0][:, None],
-                           preferred_element_type=jnp.float32)
-    dfy_ref[...] = jnp.dot(ones_h, dh1 * w1[1][:, None],
-                           preferred_element_type=jnp.float32)
+        db = db8[g:g + 1, :]                            # [1, CH]
+        # bias = w3^T h2 + b3
+        dw3_ref[...] += jax.lax.dot_general(
+            h2, db, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [HID, 1]
+        db3_ref[...] += jnp.sum(db, axis=1, keepdims=True)
+        dh2 = w3 * db                                   # [HID,1]*[1,CH]
+        dh2 = dh2 * (h2 > 0).astype(jnp.float32)
+        # h2 = W2^T h1 -> dW2 = h1 dh2^T, dh1 = W2 dh2
+        dw2_ref[...] += jax.lax.dot_general(
+            h1, dh2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [HID, HID]
+        db2_ref[...] += jnp.sum(dh2, axis=1, keepdims=True)
+        dh1 = jax.lax.dot_general(w2, dh2, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dh1 = dh1 * (h1 > 0).astype(jnp.float32)        # [HID, CH]
+        db1_ref[...] += jnp.sum(dh1, axis=1, keepdims=True)
+        # h1 = w1x fx + w1y fy + b1 (outer products)
+        dw1_ref[...] += jnp.concatenate([
+            jax.lax.dot_general(dh1, fxg, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32).T,
+            jax.lax.dot_general(dh1, fyg, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32).T,
+        ], axis=0)                                      # [2, HID]
+        dfx_rows.append(jnp.dot(ones_h, dh1 * w1[0][:, None],
+                                preferred_element_type=jnp.float32))
+        dfy_rows.append(jnp.dot(ones_h, dh1 * w1[1][:, None],
+                                preferred_element_type=jnp.float32))
+    dfx_ref[...] = jnp.concatenate(dfx_rows, axis=0)    # [8, CH]
+    dfy_ref[...] = jnp.concatenate(dfy_rows, axis=0)
 
 
 def _cpb_wide_specs(extra=0):
-    return ([pl.BlockSpec((1, _WIDE_CHUNK), lambda i: (0, i))] * 2
+    return ([pl.BlockSpec((8, _WIDE_CHUNK), lambda i: (i, 0))] * 2
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (6 + extra))
 
 
@@ -721,17 +746,19 @@ def cpb_bias_wide(fx, fy, w1, b1, w2, b2, w3, b3, interpret=False):
 
 def _cpb_wide_fwd(fx, fy, w1, b1, w2, b2, w3, b3, interpret):
     M = fx.shape[0]
-    assert M % _WIDE_CHUNK == 0
-    grid = (M // _WIDE_CHUNK,)
+    assert M % (8 * _WIDE_CHUNK) == 0
+    R = M // _WIDE_CHUNK
+    grid = (R // 8,)
     bias = pl.pallas_call(
         _cpb_wide_fwd_kernel,
         grid=grid,
         in_specs=_cpb_wide_specs(),
-        out_specs=pl.BlockSpec((1, _WIDE_CHUNK), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((1, M), jnp.float32),
+        out_specs=pl.BlockSpec((8, _WIDE_CHUNK), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((R, _WIDE_CHUNK), jnp.float32),
         interpret=interpret,
-    )(fx[None, :], fy[None, :], w1, b1, w2, b2, w3, b3)
-    return bias[0]
+    )(fx.reshape(R, _WIDE_CHUNK), fy.reshape(R, _WIDE_CHUNK),
+      w1, b1, w2, b2, w3, b3)
+    return bias.reshape(M)
 
 
 def _cpb_wide_vjp_fwd(fx, fy, w1, b1, w2, b2, w3, b3, interpret):
@@ -742,15 +769,16 @@ def _cpb_wide_vjp_fwd(fx, fy, w1, b1, w2, b2, w3, b3, interpret):
 def _cpb_wide_vjp_bwd(interpret, res, dbias):
     fx, fy, w1, b1, w2, b2, w3, b3 = res
     M = fx.shape[0]
-    grid = (M // _WIDE_CHUNK,)
+    R = M // _WIDE_CHUNK
+    grid = (R // 8,)
     outs = pl.pallas_call(
         _cpb_wide_bwd_kernel,
         grid=grid,
         in_specs=_cpb_wide_specs() + [
-            pl.BlockSpec((1, _WIDE_CHUNK), lambda i: (0, i))],  # dbias
+            pl.BlockSpec((8, _WIDE_CHUNK), lambda i: (i, 0))],  # dbias
         out_specs=[
-            pl.BlockSpec((1, _WIDE_CHUNK), lambda i: (0, i)),   # dfx
-            pl.BlockSpec((1, _WIDE_CHUNK), lambda i: (0, i)),   # dfy
+            pl.BlockSpec((8, _WIDE_CHUNK), lambda i: (i, 0)),   # dfx
+            pl.BlockSpec((8, _WIDE_CHUNK), lambda i: (i, 0)),   # dfy
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -759,8 +787,8 @@ def _cpb_wide_vjp_bwd(interpret, res, dbias):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, M), jnp.float32),
-            jax.ShapeDtypeStruct((1, M), jnp.float32),
+            jax.ShapeDtypeStruct((R, _WIDE_CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((R, _WIDE_CHUNK), jnp.float32),
             jax.ShapeDtypeStruct((2, HID), jnp.float32),
             jax.ShapeDtypeStruct((HID, 1), jnp.float32),
             jax.ShapeDtypeStruct((HID, HID), jnp.float32),
@@ -769,9 +797,11 @@ def _cpb_wide_vjp_bwd(interpret, res, dbias):
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(fx[None, :], fy[None, :], w1, b1, w2, b2, w3, b3, dbias[None, :])
+    )(fx.reshape(R, _WIDE_CHUNK), fy.reshape(R, _WIDE_CHUNK),
+      w1, b1, w2, b2, w3, b3, dbias.reshape(R, _WIDE_CHUNK))
     dfx, dfy, dw1, db1, dw2, db2, dw3, db3 = outs
-    return (dfx[0], dfy[0], dw1, db1[:, 0], dw2, db2[:, 0], dw3, db3[0])
+    return (dfx.reshape(M), dfy.reshape(M), dw1, db1[:, 0], dw2, db2[:, 0],
+            dw3, db3[0])
 
 
 cpb_bias_wide.defvjp(_cpb_wide_vjp_fwd, _cpb_wide_vjp_bwd)
@@ -779,24 +809,566 @@ cpb_bias_wide.defvjp(_cpb_wide_vjp_fwd, _cpb_wide_vjp_bwd)
 
 def cpb_bias_from_grids(grid_q, grid_kv, w1, b1, w2, b2, w3, b3,
                         interpret: bool = False):
-    """Drop-in CPB: grid_q [N,2], grid_kv [BH,K,2] -> bias [BH, N, K].
+    """Production CPB bias: grid_q [N,2], grid_kv [BH,K,2] -> bias [BH,N,K].
+    XLA computes the wide sign*log1p position transform (autodiffed),
+    cpb_bias_wide fuses the MLP so hiddens never touch HBM.
 
-    XLA computes the wide sign*log1p position transform (autodiffed, so the
-    grid_kv gradient flows); the Pallas kernel fuses the MLP so its hiddens
-    never touch HBM."""
+    Measured v5e negative result (round 2): the block-diagonal wide4 variant
+    below (full-MXU [128,128] matmuls, log transform in-kernel) is SLOWER in
+    production (isolated 7.6 vs 6.5 ms, in-module 11.8 vs 9.7 ms fwd+bwd at
+    B=4) because its [R,4,2048] rank-3 input layout forces an XLA relayout of
+    the flat position stream, which costs more than the MXU utilization win;
+    [1, M] lanes-only blocks map to contiguous memory for free."""
     N = grid_q.shape[0]
     BH, K, _ = grid_kv.shape
-
-    def _f(c):  # [BH,N,K] per coordinate, no stacked pos tensor
-        d = grid_q[None, :, None, c] - grid_kv[:, None, :, c]
-        return (jnp.sign(d) * jnp.log1p(jnp.abs(d))).reshape(-1)
-
-    fx = _f(0)
-    fy = _f(1)
+    fx, fy = _log_pos_diff_flat(grid_q, grid_kv)
     M = fx.shape[0]
-    M_pad = _round_up(M, _WIDE_CHUNK)
+    M_pad = _round_up(M, 8 * _WIDE_CHUNK)
     if M_pad != M:
         fx = jnp.pad(fx, (0, M_pad - M))
         fy = jnp.pad(fy, (0, M_pad - M))
     bias = cpb_bias_wide(fx, fy, w1, b1, w2, b2, w3, b3, interpret)
     return bias[:M].reshape(BH, N, K)
+
+
+@jax.custom_vjp
+def _log_pos_diff_flat(grid_q, grid_kv):
+    """(fx, fy) flat [BH*N*K]: sign(d)*log1p|d| of the query-kv position
+    diffs, with a hand-written backward.
+
+    JAX's automatic transpose of the broadcast-subtract reduces [BH, N, K]
+    over the MIDDLE axis, which XLA lowers to a ~36 GB/s transpose fusion +
+    slice-reduce (~4 ms of the 6.2 ms CPB fwd+bwd at production shapes,
+    profiled on v5e); here the gkv reduction is an MXU contraction over q and
+    the gq reduction is a lane+leading reduce, both fast paths."""
+    def _f(c):
+        d = grid_q[None, :, None, c] - grid_kv[:, None, :, c]
+        return (jnp.sign(d) * jnp.log1p(jnp.abs(d))).reshape(-1)
+
+    return _f(0), _f(1)
+
+
+def _lpd_fwd(grid_q, grid_kv):
+    return _log_pos_diff_flat(grid_q, grid_kv), (grid_q, grid_kv)
+
+
+def _lpd_bwd(res, g):
+    grid_q, grid_kv = res
+    dfx, dfy = g
+    N = grid_q.shape[0]
+    BH, K, _ = grid_kv.shape
+    ones_q = jnp.ones((N,), dfx.dtype)
+
+    def one(c, df):
+        d = grid_q[None, :, None, c] - grid_kv[:, None, :, c]
+        dp = df.reshape(BH, N, K) / (1.0 + jnp.abs(d))
+        dgq_c = dp.sum(axis=(0, 2))
+        dgkv_c = -jnp.einsum("q,bqk->bk", ones_q, dp)
+        return dgq_c, dgkv_c
+
+    gqx, gkx = one(0, dfx)
+    gqy, gky = one(1, dfy)
+    return jnp.stack([gqx, gqy], -1), jnp.stack([gkx, gky], -1)
+
+
+_log_pos_diff_flat.defvjp(_lpd_fwd, _lpd_bwd)
+
+
+# ===========================================================================
+# Wide4 CPB kernel (block-diagonal stacked: full 128-wide MXU utilization)
+# ===========================================================================
+# Fourth iteration.  The wide kernel's [32,32] x [32,CH] matmuls use 32/128
+# sublanes and 32/128 contraction depth: 1/16 of the MXU.  Here FOUR position
+# chunks are processed per matmul by stacking their hiddens on sublanes
+# (4 x HID = 128 rows) against block-diagonal weights kron(I4, W):
+#
+#   h1s  = relu(w1xblk^T px + w1yblk^T py + b1s)        [128, CH]
+#   h2s  = relu(W2blk^T h1s + b2s)                      [128, CH]   full MXU
+#   bias = w3blk^T h2s + b3                             [4,  CH]
+#
+# The sign*log1p transform and its backward run IN-KERNEL (the XLA-side
+# transform of the v1 path cost ~2.7 ms/attention in glue), so the inputs are
+# raw position diffs px, py laid out [rows, CH] with rows consumed 4 per grid
+# step.  4x redundant MACs, 16x better utilization => ~4x net.  All grads
+# (params + positions) are computed by the hand-written backward kernel;
+# block-structured param grads are folded back to [32]-sized params on host.
+
+_W4_CHUNK = 2048  # lanes per grid step; 4 sublane rows => 8192 positions/step
+
+
+def _w4_blocks(w1, b1, w2, b2, w3, b3):
+    """Host-side block-diagonal stacking of the CPB params (param-sized, XLA
+    fuses these into the surrounding graph)."""
+    eye4 = jnp.eye(4, dtype=w1.dtype)
+    w1xb = jnp.kron(eye4, w1[0:1, :])        # [4, 128]
+    w1yb = jnp.kron(eye4, w1[1:2, :])        # [4, 128]
+    w2b = jnp.kron(eye4, w2)                 # [128, 128]
+    w3b = jnp.kron(eye4, w3)                 # [128, 4]
+    b1s = jnp.tile(b1, 4)[:, None]           # [128, 1]
+    b2s = jnp.tile(b2, 4)[:, None]           # [128, 1]
+    return w1xb, w1yb, w2b, w3b, b1s, b2s
+
+
+def _w4_fwd_kernel(px_ref, py_ref, w1xb_ref, w1yb_ref, b1s_ref, w2b_ref,
+                   b2s_ref, w3b_ref, b3_ref, bias_ref):
+    px = px_ref[0]                                      # [4, CH]
+    py = py_ref[0]
+    fx = jnp.sign(px) * jnp.log1p(jnp.abs(px))
+    fy = jnp.sign(py) * jnp.log1p(jnp.abs(py))
+    h1 = jax.lax.dot_general(w1xb_ref[...], fx, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    h1 = h1 + jax.lax.dot_general(w1yb_ref[...], fy, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(h1 + b1s_ref[...], 0.0)            # [128, CH]
+    h2 = jax.lax.dot_general(w2b_ref[...], h1, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    h2 = jnp.maximum(h2 + b2s_ref[...], 0.0)            # [128, CH]
+    bias_ref[0] = (jax.lax.dot_general(
+        w3b_ref[...], h2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b3_ref[0, 0])  # [4, CH]
+
+
+def _w4_bwd_kernel(px_ref, py_ref, w1xb_ref, w1yb_ref, b1s_ref, w2b_ref,
+                   b2s_ref, w3b_ref, dbias_ref,
+                   dpx_ref, dpy_ref, dw1xf_ref, dw1yf_ref, db1f_ref,
+                   dw2f_ref, db2f_ref, dw3f_ref, db3f_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dw1xf_ref[...] = jnp.zeros_like(dw1xf_ref)
+        dw1yf_ref[...] = jnp.zeros_like(dw1yf_ref)
+        db1f_ref[...] = jnp.zeros_like(db1f_ref)
+        dw2f_ref[...] = jnp.zeros_like(dw2f_ref)
+        db2f_ref[...] = jnp.zeros_like(db2f_ref)
+        dw3f_ref[...] = jnp.zeros_like(dw3f_ref)
+        db3f_ref[...] = jnp.zeros_like(db3f_ref)
+
+    px = px_ref[0]
+    py = py_ref[0]
+    fx = jnp.sign(px) * jnp.log1p(jnp.abs(px))
+    fy = jnp.sign(py) * jnp.log1p(jnp.abs(py))
+    w1xb = w1xb_ref[...]
+    w1yb = w1yb_ref[...]
+    w2b = w2b_ref[...]
+    w3b = w3b_ref[...]
+    h1 = jax.lax.dot_general(w1xb, fx, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    h1 = h1 + jax.lax.dot_general(w1yb, fy, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(h1 + b1s_ref[...], 0.0)
+    h2 = jax.lax.dot_general(w2b, h1, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    h2 = jnp.maximum(h2 + b2s_ref[...], 0.0)
+
+    db = dbias_ref[0]                                    # [4, CH]
+    # bias = w3b^T h2 + b3
+    dw3f_ref[...] += jax.lax.dot_general(
+        h2, db, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [128, 4]
+    db3f_ref[...] += jnp.sum(db, axis=1, keepdims=True)  # [4, 1]
+    dh2 = jax.lax.dot_general(w3b, db, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dh2 = dh2 * (h2 > 0).astype(jnp.float32)             # [128, CH]
+    # h2 = w2b^T h1
+    dw2f_ref[...] += jax.lax.dot_general(
+        h1, dh2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [128, 128]
+    db2f_ref[...] += jnp.sum(dh2, axis=1, keepdims=True)
+    dh1 = jax.lax.dot_general(w2b, dh2, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dh1 = dh1 * (h1 > 0).astype(jnp.float32)             # [128, CH]
+    db1f_ref[...] += jnp.sum(dh1, axis=1, keepdims=True)
+    # h1 = w1xb^T fx + w1yb^T fy + b1s: param grads need fx broadcast to the
+    # stacked rows; dot against dh1 contracts lanes directly instead:
+    dw1xf_ref[...] += jax.lax.dot_general(
+        fx, dh1, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [4, 128]
+    dw1yf_ref[...] += jax.lax.dot_general(
+        fy, dh1, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dfx = jax.lax.dot_general(w1xb, dh1, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [4, CH]
+    dfy = jax.lax.dot_general(w1yb, dh1, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    # d sign(p)*log1p|p| / dp = 1/(1+|p|)
+    dpx_ref[0] = dfx / (1.0 + jnp.abs(px))
+    dpy_ref[0] = dfy / (1.0 + jnp.abs(py))
+
+
+def _w4_param_specs():
+    return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(7)]
+
+
+def _w4_fwd(px2, py2, w1, b1, w2, b2, w3, b3, interpret):
+    R4, four, CH = px2.shape
+    assert CH == _W4_CHUNK and four == 4
+    w1xb, w1yb, w2b, w3b, b1s, b2s = _w4_blocks(w1, b1, w2, b2, w3, b3)
+    grid = (R4,)
+    bias = pl.pallas_call(
+        _w4_fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4, CH), lambda i: (i, 0, 0)),     # px
+            pl.BlockSpec((1, 4, CH), lambda i: (i, 0, 0)),     # py
+        ] + _w4_param_specs(),
+        out_specs=pl.BlockSpec((1, 4, CH), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((R4, 4, CH), jnp.float32),
+        interpret=interpret,
+    )(px2, py2, w1xb, w1yb, b1s, w2b, b2s, w3b,
+      b3.reshape(1, 1))
+    return bias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def cpb_bias_wide4(px2, py2, w1, b1, w2, b2, w3, b3, interpret=False):
+    """Block-diagonal wide CPB: px2/py2 [R4, 4, 2048] raw position diffs;
+    returns bias [R4, 4, 2048].  Differentiable wrt positions and all params;
+    the log transform runs in-kernel."""
+    return _w4_fwd(px2, py2, w1, b1, w2, b2, w3, b3, interpret)
+
+
+def _w4_vjp_fwd(px2, py2, w1, b1, w2, b2, w3, b3, interpret):
+    bias = _w4_fwd(px2, py2, w1, b1, w2, b2, w3, b3, interpret)
+    return bias, (px2, py2, w1, b1, w2, b2, w3, b3)
+
+
+def _w4_vjp_bwd(interpret, res, dbias):
+    px2, py2, w1, b1, w2, b2, w3, b3 = res
+    R4, _, CH = px2.shape
+    w1xb, w1yb, w2b, w3b, b1s, b2s = _w4_blocks(w1, b1, w2, b2, w3, b3)
+    grid = (R4,)
+    outs = pl.pallas_call(
+        _w4_bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4, CH), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 4, CH), lambda i: (i, 0, 0)),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)] + [
+            pl.BlockSpec((1, 4, CH), lambda i: (i, 0, 0)),     # dbias
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 4, CH), lambda i: (i, 0, 0)),     # dpx
+            pl.BlockSpec((1, 4, CH), lambda i: (i, 0, 0)),     # dpy
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(7)],
+        out_shape=[
+            jax.ShapeDtypeStruct((R4, 4, CH), jnp.float32),
+            jax.ShapeDtypeStruct((R4, 4, CH), jnp.float32),
+            jax.ShapeDtypeStruct((4, 128), jnp.float32),   # dw1x folded
+            jax.ShapeDtypeStruct((4, 128), jnp.float32),   # dw1y folded
+            jax.ShapeDtypeStruct((128, 1), jnp.float32),   # db1 folded
+            jax.ShapeDtypeStruct((128, 128), jnp.float32),  # dw2 folded
+            jax.ShapeDtypeStruct((128, 1), jnp.float32),   # db2 folded
+            jax.ShapeDtypeStruct((128, 4), jnp.float32),   # dw3 folded
+            jax.ShapeDtypeStruct((4, 1), jnp.float32),     # db3 folded
+        ],
+        interpret=interpret,
+    )(px2, py2, w1xb, w1yb, b1s, w2b, b2s, w3b, dbias)
+    dpx, dpy, dw1xf, dw1yf, db1f, dw2f, db2f, dw3f, db3f = outs
+
+    # fold block-structured grads back onto the [32]-sized params:
+    # stacked row index j = s*32 + h
+    dw1x = dw1xf.reshape(4, 4, HID)  # [s_row, s_col, h]
+    dw1x = jnp.einsum("ssh->h", dw1x)  # diagonal blocks only
+    dw1y = jnp.einsum("ssh->h", dw1yf.reshape(4, 4, HID))
+    dw1 = jnp.stack([dw1x, dw1y], axis=0)                # [2, HID]
+    db1 = db1f[:, 0].reshape(4, HID).sum(axis=0)
+    dw2 = dw2f.reshape(4, HID, 4, HID)
+    dw2 = jnp.einsum("shsi->hi", dw2)
+    db2 = db2f[:, 0].reshape(4, HID).sum(axis=0)
+    dw3 = dw3f.reshape(4, HID, 4)
+    dw3 = jnp.einsum("shs->h", dw3)[:, None]             # [HID, 1]
+    db3 = db3f.sum().reshape(1)
+    return dpx, dpy, dw1, db1, dw2, db2, dw3, db3
+
+
+cpb_bias_wide4.defvjp(_w4_vjp_fwd, _w4_vjp_bwd)
+
+
+@jax.custom_vjp
+def _pos_diff(grid_q, grid_kv):
+    """px, py [BH, N, K] = grid_q - grid_kv, with a hand-written backward.
+
+    JAX's automatic transpose of the broadcast-subtract reduces [BH, N, K]
+    over the MIDDLE axis, which XLA lowers to a ~36 GB/s transpose fusion
+    (~5 ms per CPB call at production shapes — profiled on v5e); here the
+    gkv reduction is expressed as an MXU dot over the contraction axis and
+    the gq reduction as lane+leading reduces, both fast paths."""
+    px = grid_q[None, :, None, 0] - grid_kv[:, None, :, 0]
+    py = grid_q[None, :, None, 1] - grid_kv[:, None, :, 1]
+    return px, py
+
+
+def _pos_diff_fwd(grid_q, grid_kv):
+    return _pos_diff(grid_q, grid_kv), (grid_q.shape[0], grid_kv.shape[0])
+
+
+def _pos_diff_bwd(res, g):
+    dpx, dpy = g
+    N = dpx.shape[1]
+    ones_q = jnp.ones((N,), dpx.dtype)
+    # dgkv = -sum_q dp: contraction over q on the MXU (not a transpose)
+    dgkv = -jnp.stack([jnp.einsum("q,bqk->bk", ones_q, dpx),
+                       jnp.einsum("q,bqk->bk", ones_q, dpy)], axis=-1)
+    # dgq = +sum_{bh,k} dp: lane reduce + leading reduce (both cheap)
+    dgq = jnp.stack([dpx.sum(axis=(0, 2)), dpy.sum(axis=(0, 2))], axis=-1)
+    return dgq, dgkv
+
+
+_pos_diff.defvjp(_pos_diff_fwd, _pos_diff_bwd)
+
+
+def cpb_bias_from_grids_w4(grid_q, grid_kv, w1, b1, w2, b2, w3, b3,
+                           interpret: bool = False):
+    """wide4 entry (kept as a tested negative result, see production
+    docstring): only the raw position diffs are materialized by XLA; the log
+    transform and the MLP run in the block-diagonal kernel."""
+    N = grid_q.shape[0]
+    BH, K, _ = grid_kv.shape
+    M = BH * N * K
+    M_pad = _round_up(M, 4 * _W4_CHUNK)
+
+    px, py = _pos_diff(grid_q, grid_kv)
+
+    def _flat(d):
+        d = d.reshape(-1)
+        if M_pad != M:
+            d = jnp.pad(d, (0, M_pad - M))
+        return d.reshape(M_pad // (4 * _W4_CHUNK), 4, _W4_CHUNK)
+
+    bias = cpb_bias_wide4(_flat(px), _flat(py), w1, b1, w2, b2, w3, b3,
+                          interpret)
+    return bias.reshape(-1)[:M].reshape(BH, N, K)
+
+
+# ===========================================================================
+# Self-contained CPB kernel (v5: in-kernel position diffs + in-kernel dgkv)
+# ===========================================================================
+# Profiling the v1 path on v5e (B=4 production shapes) shows the MLP kernels
+# cost ~1.1 ms while ~5 ms/attention is XLA glue: materializing fx/fy
+# [BH,N,K] -> flat (relayout), and the backward's dgkv reduction over the
+# MIDDLE axis of [BH,N,K] (a ~36 GB/s transpose fusion + slice-reduce).
+#
+# This kernel removes both crossings.  Chunks are ALIGNED: one grid step
+# covers QC consecutive query rows x all K kv positions of ONE bh
+# (CH = QC*K lanes), so
+#   - the query part of the position diff is a precomputed CONSTANT
+#     qp[x,y] [N/QC, 1, CH] (grid_q is static);
+#   - the kv part is built in-kernel as gkv_row [1,K] @ S_k [K, CH] where
+#     S_k[k, c] = (c mod K == k) -- an MXU matmul, no relayout;
+#   - the backward's dgkv reduction is dpx [1, CH] contracted with S_k over
+#     lanes -> [1, K], accumulated across the QC-chunks of each bh in VMEM.
+# The only remaining layout crossings are the unavoidable flat <-> [BH,N,K]
+# reshapes of bias/dbias at the attention boundary.
+# grid_q is a static model constant, so its cotangent path is dead in
+# production; this kernel returns a zero cotangent for it (documented).
+
+
+def _cpb5_mlp_fwd(fx, fy, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref):
+    """Wide-layout MLP on [1, CH] lanes: returns (bias [1, CH], h1, h2)."""
+    w1 = w1_ref[...]
+    h1 = jnp.maximum(w1[0][:, None] * fx + w1[1][:, None] * fy
+                     + b1_ref[...][:, None], 0.0)          # [HID, CH]
+    h2 = jax.lax.dot_general(w2_ref[...], h1, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    h2 = jnp.maximum(h2 + b2_ref[...][:, None], 0.0)       # [HID, CH]
+    bias = (jax.lax.dot_general(w3_ref[...], h2, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            + b3_ref[0, 0])                                # [1, CH]
+    return bias, h1, h2
+
+
+def _cpb5_pos(qpx_ref, qpy_ref, gkvt_ref, sk_ref):
+    """px, py [1, CH] for this chunk: constant query part minus the
+    S_k-scattered kv part (all matmuls/VPU, no relayouts)."""
+    sk = sk_ref[...]                                       # [K, CH]
+    kx = jax.lax.dot_general(gkvt_ref[0, 0:1, :], sk, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ky = jax.lax.dot_general(gkvt_ref[0, 1:2, :], sk, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    px = qpx_ref[0] - kx                                   # [1, CH]
+    py = qpy_ref[0] - ky
+    fx = jnp.sign(px) * jnp.log1p(jnp.abs(px))
+    fy = jnp.sign(py) * jnp.log1p(jnp.abs(py))
+    return px, py, fx, fy
+
+
+def _cpb5_fwd_kernel(qpx_ref, qpy_ref, gkvt_ref, sk_ref,
+                     w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                     bias_ref):
+    _, _, fx, fy = _cpb5_pos(qpx_ref, qpy_ref, gkvt_ref, sk_ref)
+    bias, _, _ = _cpb5_mlp_fwd(fx, fy, w1_ref, b1_ref, w2_ref, b2_ref,
+                               w3_ref, b3_ref)
+    bias_ref[0] = bias
+
+
+def _cpb5_bwd_kernel(qpx_ref, qpy_ref, gkvt_ref, sk_ref,
+                     w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                     dbias_ref,
+                     dgkvt_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                     dw3_ref, db3_ref, *, chunks_per_bh):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        dw3_ref[...] = jnp.zeros_like(dw3_ref)
+        db3_ref[...] = jnp.zeros_like(db3_ref)
+
+    @pl.when(i % chunks_per_bh == 0)
+    def _():
+        dgkvt_ref[...] = jnp.zeros_like(dgkvt_ref)
+
+    px, py, fx, fy = _cpb5_pos(qpx_ref, qpy_ref, gkvt_ref, sk_ref)
+    _, h1, h2 = _cpb5_mlp_fwd(fx, fy, w1_ref, b1_ref, w2_ref, b2_ref,
+                              w3_ref, b3_ref)
+    w1 = w1_ref[...]
+    w2 = w2_ref[...]
+    w3 = w3_ref[...]
+
+    db = dbias_ref[0]                                      # [1, CH]
+    dw3_ref[...] += jax.lax.dot_general(
+        h2, db, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [HID, 1]
+    db3_ref[...] += jnp.sum(db, axis=1, keepdims=True)     # [1, 1]
+    dh2 = w3 * db                                          # [HID, CH]
+    dh2 = dh2 * (h2 > 0).astype(jnp.float32)
+    dw2_ref[...] += jax.lax.dot_general(
+        h1, dh2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [HID, HID]
+    db2_ref[...] += jnp.sum(dh2, axis=1, keepdims=True)
+    dh1 = jax.lax.dot_general(w2, dh2, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dh1 = dh1 * (h1 > 0).astype(jnp.float32)               # [HID, CH]
+    db1_ref[...] += jnp.sum(dh1, axis=1, keepdims=True)
+    dw1_ref[...] += jnp.concatenate([
+        jnp.sum(dh1 * fx, axis=1, keepdims=True),
+        jnp.sum(dh1 * fy, axis=1, keepdims=True)], axis=1).T  # [2, HID]
+    ones_h = jnp.ones((1, HID), jnp.float32)
+    dfx = jnp.dot(ones_h, dh1 * w1[0][:, None],
+                  preferred_element_type=jnp.float32)      # [1, CH]
+    dfy = jnp.dot(ones_h, dh1 * w1[1][:, None],
+                  preferred_element_type=jnp.float32)
+    dpx = dfx / (1.0 + jnp.abs(px))
+    dpy = dfy / (1.0 + jnp.abs(py))
+    # d kv = -sum over queries: contract lanes against S_k -> [1, K]
+    sk = sk_ref[...]
+    dgkvt_ref[0, 0:1, :] += -jax.lax.dot_general(
+        dpx, sk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dgkvt_ref[0, 1:2, :] += -jax.lax.dot_general(
+        dpy, sk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _cpb5_qchunk(N: int, K: int, target: int = 7200) -> int:
+    """Largest divisor of N with qchunk*K <= target (falls back to 1)."""
+    best = 1
+    for d in range(1, N + 1):
+        if N % d == 0 and d * K <= target:
+            best = d
+    return best
+
+
+def _cpb5_consts(grid_q, K: int, qc: int):
+    """Constant chunk-layout tensors (XLA folds these: grid_q is static)."""
+    N = grid_q.shape[0]
+    CH = qc * K
+    # qp[x,y]: [N/qc, 1, CH]; position c of chunk j is query j*qc + c//K
+    qp = jnp.repeat(grid_q, K, axis=0).reshape(N // qc, 1, CH, 2)
+    sk = (jax.lax.broadcasted_iota(jnp.int32, (K, CH), 1) % K
+          == jax.lax.broadcasted_iota(jnp.int32, (K, CH), 0)
+          ).astype(jnp.float32)                            # [K, CH]
+    return qp[..., 0], qp[..., 1], sk
+
+
+def _cpb5_fwd_call(grid_q, grid_kv, w1, b1, w2, b2, w3, b3, interpret):
+    N = grid_q.shape[0]
+    BH, K, _ = grid_kv.shape
+    qc = _cpb5_qchunk(N, K)
+    CH = qc * K
+    nq = N // qc
+    qpx, qpy, sk = _cpb5_consts(grid_q, K, qc)
+    gkvt = jnp.swapaxes(grid_kv, 1, 2)                     # [BH, 2, K]
+    grid = (BH * nq,)
+    bias = pl.pallas_call(
+        _cpb5_fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, CH), lambda i, nq=nq: (i % nq, 0, 0)),  # qpx
+            pl.BlockSpec((1, 1, CH), lambda i, nq=nq: (i % nq, 0, 0)),  # qpy
+            pl.BlockSpec((1, 2, K), lambda i, nq=nq: (i // nq, 0, 0)),  # gkvt
+            pl.BlockSpec(memory_space=pltpu.VMEM),                      # sk
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)],
+        out_specs=pl.BlockSpec((1, 1, CH), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH * nq, 1, CH), jnp.float32),
+        interpret=interpret,
+    )(qpx, qpy, gkvt, sk, w1, b1, w2, b2, w3, b3.reshape(1, 1))
+    return bias.reshape(BH, N, K)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def cpb_bias_grids_fused(grid_q, grid_kv, w1, b1, w2, b2, w3, b3,
+                         interpret=False):
+    """Self-contained CPB: grid_q [N,2] (STATIC; zero cotangent),
+    grid_kv [BH,K,2], MLP params -> bias [BH,N,K].  Position diffs, the log
+    transform, the MLP, and the dgkv reduction all run in-kernel."""
+    return _cpb5_fwd_call(grid_q, grid_kv, w1, b1, w2, b2, w3, b3, interpret)
+
+
+def _cpb5_vjp_fwd(grid_q, grid_kv, w1, b1, w2, b2, w3, b3, interpret):
+    bias = _cpb5_fwd_call(grid_q, grid_kv, w1, b1, w2, b2, w3, b3, interpret)
+    return bias, (grid_q, grid_kv, w1, b1, w2, b2, w3, b3)
+
+
+def _cpb5_vjp_bwd(interpret, res, dbias):
+    grid_q, grid_kv, w1, b1, w2, b2, w3, b3 = res
+    N = grid_q.shape[0]
+    BH, K, _ = grid_kv.shape
+    qc = _cpb5_qchunk(N, K)
+    CH = qc * K
+    nq = N // qc
+    qpx, qpy, sk = _cpb5_consts(grid_q, K, qc)
+    gkvt = jnp.swapaxes(grid_kv, 1, 2)
+    grid = (BH * nq,)
+    outs = pl.pallas_call(
+        functools.partial(_cpb5_bwd_kernel, chunks_per_bh=nq),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, CH), lambda i, nq=nq: (i % nq, 0, 0)),
+            pl.BlockSpec((1, 1, CH), lambda i, nq=nq: (i % nq, 0, 0)),
+            pl.BlockSpec((1, 2, K), lambda i, nq=nq: (i // nq, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)] + [
+            pl.BlockSpec((1, 1, CH), lambda i: (i, 0, 0)),              # dbias
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2, K), lambda i, nq=nq: (i // nq, 0, 0)),  # dgkvt
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, 2, K), jnp.float32),
+            jax.ShapeDtypeStruct((2, HID), jnp.float32),
+            jax.ShapeDtypeStruct((HID, 1), jnp.float32),
+            jax.ShapeDtypeStruct((HID, HID), jnp.float32),
+            jax.ShapeDtypeStruct((HID, 1), jnp.float32),
+            jax.ShapeDtypeStruct((HID, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qpx, qpy, gkvt, sk, w1, b1, w2, b2, w3, b3.reshape(1, 1),
+      dbias.reshape(BH * nq, 1, CH))
+    dgkvt, dw1, db1, dw2, db2, dw3, db3 = outs
+    return (jnp.zeros_like(grid_q), jnp.swapaxes(dgkvt, 1, 2),
+            dw1, db1[:, 0], dw2, db2[:, 0], dw3, db3[0])
+
+
+cpb_bias_grids_fused.defvjp(_cpb5_vjp_fwd, _cpb5_vjp_bwd)

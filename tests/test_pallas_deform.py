@@ -139,14 +139,14 @@ def test_cpb_bias_wide_forward_and_grads(rng):
     da._WIDE_CHUNK = 64
     try:
         got = da.cpb_bias_from_grids(gq, gkv, w1, b1, w2, b2, w3, b3,
-                                     interpret=True)
+                                        interpret=True)
         want = _cpb_ref(gq, gkv, w1, b1, w2, b2, w3, b3)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5, rtol=1e-4)
 
         def loss_fused(gkv, w1, b1, w2, b2, w3, b3):
             b = da.cpb_bias_from_grids(gq, gkv, w1, b1, w2, b2, w3, b3,
-                                       interpret=True)
+                                          interpret=True)
             return jnp.sum(jnp.sin(b) * b)
 
         def loss_ref(gkv, w1, b1, w2, b2, w3, b3):
@@ -162,3 +162,38 @@ def test_cpb_bias_wide_forward_and_grads(rng):
                                        err_msg=f"wide cpb grad {n}")
     finally:
         da._WIDE_CHUNK = old_chunk
+
+
+def test_cpb_bias_wide4_forward_and_grads(rng):
+    """The wide4 kernel (kept as a measured negative result): forward and
+    every gradient vs the jnp reference."""
+    from disentangled_multimodal_learning_tpu.ops.pallas import deform_attn as da
+
+    q, k, v, gq, gkv, w1, b1, w2, b2, w3, b3 = make_inputs(rng, BH=2, N=24, K=8)
+    old_chunk = da._W4_CHUNK
+    da._W4_CHUNK = 64
+    try:
+        got = da.cpb_bias_from_grids_w4(gq, gkv, w1, b1, w2, b2, w3, b3,
+                                     interpret=True)
+        want = _cpb_ref(gq, gkv, w1, b1, w2, b2, w3, b3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-4)
+
+        def loss_fused(gkv, w1, b1, w2, b2, w3, b3):
+            b = da.cpb_bias_from_grids_w4(gq, gkv, w1, b1, w2, b2, w3, b3,
+                                       interpret=True)
+            return jnp.sum(jnp.sin(b) * b)
+
+        def loss_ref(gkv, w1, b1, w2, b2, w3, b3):
+            b = _cpb_ref(gq, gkv, w1, b1, w2, b2, w3, b3)
+            return jnp.sum(jnp.sin(b) * b)
+
+        args = (gkv, w1, b1, w2, b2, w3, b3)
+        gf = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+        gr = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+        for n, a, b_ in zip(["gkv", "w1", "b1", "w2", "b2", "w3", "b3"], gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-4, rtol=1e-3,
+                                       err_msg=f"wide4 cpb grad {n}")
+    finally:
+        da._W4_CHUNK = old_chunk
