@@ -134,12 +134,21 @@ def path_batch_loss(att10: jnp.ndarray, att20: jnp.ndarray) -> jnp.ndarray:
     train_test.py:409, so this returns the summed scalar).
 
     att10/att20: [N, 8, L1, L2] global-batch attention maps.
+
+    The per-head Grams are contracted DIRECTLY in the native [N,8,L1,L2]
+    layout (einsum over the trailing axes == the reference's
+    reshape(n,-1) @ .T — the sum is order-independent); the explicit
+    flatten+transpose forced XLA to relayout the 46 MB maps on TPU.
     """
     n = att10.shape[0]
-    a10 = att10.reshape(n, 8, -1).transpose(1, 0, 2)  # [8, N, -1]
-    a20 = att20.reshape(n, 8, -1).transpose(1, 0, 2)
-    m10 = jnp.mean(jax.vmap(_row_normalized_gram)(a10), axis=0)
-    m20 = jnp.mean(jax.vmap(_row_normalized_gram)(a20), axis=0)
+
+    def gram_mean(a):
+        s = jnp.einsum("bhij,chij->hbc", a, a)  # [8, N, N] per-head Grams
+        norm = jnp.linalg.norm(s, axis=2, keepdims=True)
+        return jnp.mean(s / norm, axis=0)
+
+    m10 = gram_mean(att10)
+    m20 = gram_mean(att20)
     return jnp.sum((m10 - m20) ** 2 / n)
 
 
@@ -154,10 +163,12 @@ def omic_domain_scale_loss(att1_10, att1_20, att2_10, att2_20) -> jnp.ndarray:
     """Teacher cross-scale attention consistency: cosine-style cross-Gram of
     flattened attention maps per compartment, penalizing diagonal variance
     x10000 (reference utils/loss.py:90-143)."""
-    n = att1_10.shape[0]
-
     def sim_loss(a, b):
-        s = a.reshape(n, -1) @ b.reshape(n, -1).T
+        # cross-Gram contracted in the native [N, H, L1, L2] layout: equal to
+        # the reference's a.reshape(n,-1) @ b.reshape(n,-1).T (the inner
+        # product is flatten-order-independent) without the 46 MB relayout
+        # the explicit flatten costs on TPU
+        s = jnp.einsum("bhij,chij->bc", a, b)
         s = s / jnp.linalg.norm(s, axis=1, keepdims=True)
         return diag_variance_loss(s, weight=10000.0)
 
