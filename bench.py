@@ -16,12 +16,18 @@ a measured number when A100 hardware is available.
 Profile notes (v5e, fixdim=2500): the step is entirely dominated by the 4
 deformable cross-attentions (stubbing them: 167 ms -> 3.9 ms at B=8), and
 within them by the SwinV2 CPB bias MLP (~3 GB/layer hidden activations in
-XLA).  The production path now runs the CPB MLP as the wide-layout Pallas
-kernel (ops/pallas/deform_attn.py cpb_bias_wide: hidden dim on sublanes,
-positions on lanes — zero Mosaic relayouts, hiddens never touch HBM,
-hand-written backward): 43 -> 58 (XLA tuning) -> 68 bags/s.  Two earlier
-fused-kernel iterations (fully-fused attention+CPB; flat narrow-block CPB)
-are kept golden-tested in the same file with notes on why their layouts lose.
+XLA).  Optimization history at B=4 (tools/bench_breakdown.py has the
+measurements): 43 -> 58 (XLA tuning) -> 70 (wide-layout Pallas CPB MLP,
+hiddens never leave VMEM) -> 100 (compact 8-row kernel blocks killing the
+8x sublane padding of [1, M] boundary arrays + exact-dividing chunks) ->
+133 bags/s (attention-map Gram losses contracted in native layout instead
+of reshape(n,-1) relayouts).  Negative results are kept golden-tested in
+ops/pallas/deform_attn.py with notes on why their layouts lose.
+
+Roofline fields: ``bytes_per_step`` comes from XLA's compiled cost analysis
+(bytes accessed, all memory spaces), ``achieved_GBps`` divides it by the
+measured step time, and ``pct_hbm_peak`` compares against the v5e HBM peak
+(819 GB/s) — so the "how far from memory-bound" claim is checkable.
 """
 
 from __future__ import annotations
@@ -31,7 +37,8 @@ import time
 
 import numpy as np
 
-REF_A100_BAGS_PER_SEC = 25.0  # estimate — see module docstring
+REF_A100_BAGS_PER_SEC = 25.0  # ESTIMATE, not measured — see module docstring
+V5E_HBM_PEAK_GBPS = 819.0  # TPU v5e HBM bandwidth (public spec)
 
 BATCH = 4  # the reference teacher's batch size (config_mine_diag2021.yaml:51)
 FIXDIM = 2500
@@ -71,6 +78,17 @@ def main():
     state = init_model_state(model, cfg, batch, tx)
     step = jax.jit(make_train_step(model, cfg, tx), donate_argnums=(0,))
 
+    # bytes accessed per step from the compiled module's cost analysis
+    bytes_per_step = None
+    try:
+        cost = step.lower(state, arrays, jax.random.PRNGKey(0),
+                          None).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        bytes_per_step = float(cost.get("bytes accessed", 0.0)) or None
+    except Exception:
+        pass
+
     # Timing on the tunneled `axon` backend: block_until_ready does NOT fence
     # remote execution; only a host readback does, and each readback costs a
     # ~28 ms HTTP roundtrip.  So: enqueue ITERS dependent steps (state-carry
@@ -98,12 +116,24 @@ def main():
     dt = max(time.perf_counter() - t0 - roundtrip, 1e-6)
 
     bags_per_sec = BATCH * ITERS / dt
-    print(json.dumps({
+    step_sec = dt / ITERS
+    record = {
         "metric": "teacher_train_bags_per_sec_fixdim2500_b4",
         "value": round(bags_per_sec, 3),
         "unit": "bags/sec/chip",
+        # the A100 reference number is an operation-count ESTIMATE (module
+        # docstring), not a measurement — hence the explicit alias
         "vs_baseline": round(bags_per_sec / REF_A100_BAGS_PER_SEC, 3),
-    }))
+        "vs_estimated_baseline": round(bags_per_sec / REF_A100_BAGS_PER_SEC, 3),
+    }
+    if bytes_per_step:
+        gbps = bytes_per_step / step_sec / 1e9
+        record.update({
+            "bytes_per_step": int(bytes_per_step),
+            "achieved_GBps": round(gbps, 1),
+            "pct_hbm_peak": round(100.0 * gbps / V5E_HBM_PEAK_GBPS, 1),
+        })
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
