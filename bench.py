@@ -20,9 +20,15 @@ XLA).  Optimization history at B=4 (tools/bench_breakdown.py has the
 measurements): 43 -> 58 (XLA tuning) -> 70 (wide-layout Pallas CPB MLP,
 hiddens never leave VMEM) -> 100 (compact 8-row kernel blocks killing the
 8x sublane padding of [1, M] boundary arrays + exact-dividing chunks) ->
-133 bags/s (attention-map Gram losses contracted in native layout instead
-of reshape(n,-1) relayouts).  Negative results are kept golden-tested in
-ops/pallas/deform_attn.py with notes on why their layouts lose.
+133 (attention-map Gram losses contracted in native layout instead of
+reshape(n,-1) relayouts) -> 151 bags/s (transposed "kn" attention layout +
+v7 CPB kernel: position diffs, log transform and the dgkv reduction all
+in-kernel, so the 92 MB/attention fx/fy streams and their relayouts vanish;
+sim/softmax/PV consume the kv-major bias with zero transposes).  Negative
+results are kept golden-tested in ops/pallas/deform_attn.py with notes on
+why their layouts lose (flat v2, wide4 block-diag, self-contained v5 with
+1-sublane blocks; bf16 streams and bf16 MXU operands also measured slower —
+the kernel is VPU/MXU-bound, not bandwidth-bound).
 
 Roofline fields: ``bytes_per_step`` comes from XLA's compiled cost analysis
 (bytes accessed, all memory spaces), ``achieved_GBps`` divides it by the

@@ -82,6 +82,26 @@ CPB_REMAT = True
 # use the fused wide-layout Pallas CPB kernel on TPU (ops/pallas/deform_attn);
 # hiddens never touch HBM and the backward is hand-written
 CPB_USE_PALLAS = True
+# which Pallas CPB kernel: "v1" = wide MLP kernel + XLA position transform,
+# "v5" = self-contained (position diffs, log transform and dgkv reduction all
+# in-kernel; see ops/pallas/deform_attn.py)
+CPB_KERNEL_VERSION = "v1"
+
+
+def resolve_attn_layout(layout: str) -> str:
+    """Resolve the 2-D attention-map layout: "auto" picks the transposed
+    "kn" ([B, heads, Nk, Nq]) layout on TPU — it lets the CPB bias come
+    straight out of the transposed Pallas kernel with zero relayouts — and
+    the reference "nk" ([B, heads, Nq, Nk]) layout elsewhere."""
+    if layout == "auto":
+        return "kn" if jax.default_backend() == "tpu" else "nk"
+    return layout
+
+
+def attn_kv_axis(layout: str = "auto") -> int:
+    """Axis of the KV dimension in a 4-D attention map of ``layout``
+    (for consumers that reduce over kv, e.g. attention-map export)."""
+    return -2 if resolve_attn_layout(layout) == "kn" else -1
 
 
 def _cpb_mlp(grid_q, grid_kv, w1, b1, w2, b2, w3, b3, log_distance, cdt):
@@ -120,7 +140,8 @@ class CPB(nn.Module):
     log_distance: bool = True
 
     @nn.compact
-    def __call__(self, grid_q: jnp.ndarray, grid_kv: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, grid_q: jnp.ndarray, grid_kv: jnp.ndarray, *,
+                 transposed: bool = False) -> jnp.ndarray:
         bg = grid_kv.shape[0]
         b = bg // self.offset_groups
         out_per_group = self.heads // self.offset_groups
@@ -142,12 +163,24 @@ class CPB(nn.Module):
                       and out_per_group == 1 and self.log_distance
                       and jax.default_backend() == "tpu")
         if use_pallas:
-            from ..ops.pallas.deform_attn import HID, cpb_bias_from_grids
+            from ..ops.pallas.deform_attn import (HID, cpb_bias_from_grids,
+                                                  cpb_bias_grids_fused,
+                                                  cpb_bias_transposed)
 
             use_pallas = self.dim == HID
+        if use_pallas and transposed:
+            # transposed kernel emits [B*G, Nk, Nq] natively (no streams,
+            # no relayouts); with out_per_group == 1 the head reshape is a
+            # free leading-dim split
+            bias_t = cpb_bias_transposed(grid_q, grid_kv, w1, b1, w2, b2,
+                                         w3, b3)
+            nk, nq = bias_t.shape[1], bias_t.shape[2]
+            return bias_t.reshape(b, self.heads, nk, nq)
         if use_pallas:
-            bias = cpb_bias_from_grids(grid_q, grid_kv, w1, b1, w2, b2, w3,
-                                       b3)[..., None]  # [B*G, Nq, Nk, 1]
+            kernel = (cpb_bias_grids_fused if CPB_KERNEL_VERSION == "v5"
+                      else cpb_bias_from_grids)
+            bias = kernel(grid_q, grid_kv, w1, b1, w2, b2, w3,
+                          b3)[..., None]  # [B*G, Nq, Nk, 1]
         else:
             cdt = _compute_dtype()
             fn = _cpb_mlp
@@ -160,6 +193,8 @@ class CPB(nn.Module):
         nq, nk = bias.shape[1], bias.shape[2]
         bias = bias.reshape(b, self.offset_groups, nq, nk, out_per_group)
         bias = bias.transpose(0, 1, 4, 2, 3).reshape(b, self.heads, nq, nk)
+        if transposed:
+            bias = jnp.swapaxes(bias, -1, -2)  # XLA fallback path
         return bias
 
 
@@ -215,9 +250,11 @@ class DeformCrossAttention2D(nn.Module):
     offset_scale=4, offset_kernel_size=6, grouped q/k/v.
 
     Inputs x1, x2: ``[B, N, C]`` with N a perfect square.
-    Returns (out ``[B, N, C]``, attn ``[B, heads, N, K]``) or (out, vgrid
-    ``[B*G, 2, gh, gw]``) when ``return_vgrid`` — exactly the reference's two
-    return modes (models/DeformableAttention2D.py:328-342).
+    Returns (out ``[B, N, C]``, attn) or (out, vgrid ``[B*G, 2, gh, gw]``)
+    when ``return_vgrid`` — exactly the reference's two return modes
+    (models/DeformableAttention2D.py:328-342).  The attn map is
+    ``[B, heads, N, K]`` in the "nk" layout and ``[B, heads, K, N]`` in the
+    TPU-native "kn" layout (see ``attn_layout`` / :func:`attn_kv_axis`).
     """
 
     dim: int
@@ -228,6 +265,13 @@ class DeformCrossAttention2D(nn.Module):
     offset_scale: float = 4.0
     offset_groups: int = 8
     offset_kernel_size: int = 6
+    # attention-map layout: "nk" = reference [B,H,Nq,Nk]; "kn" = transposed
+    # [B,H,Nk,Nq] (TPU-native: the CPB bias comes straight out of the
+    # transposed Pallas kernel and sim/softmax/PV run in that layout with
+    # zero relayouts); "auto" = "kn" on TPU, "nk" elsewhere.  The attention
+    # consistency losses contract over all trailing axes and are layout-
+    # independent; reduce over kv via attn_kv_axis() in other consumers.
+    attn_layout: str = "auto"
 
     @nn.compact
     def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, *, return_vgrid: bool = False,
@@ -284,21 +328,41 @@ class DeformCrossAttention2D(nn.Module):
 
         qh = split(q) * scale
         kh, vh = split(k), split(v)
-        sim = jnp.einsum("bhid,bhjd->bhij", qh.astype(cdt), kh.astype(cdt),
-                         preferred_element_type=jnp.float32)  # [B,H,N,K]
+        layout = resolve_attn_layout(self.attn_layout)
 
         grid_full = create_grid_2d(side, side, dtype=x1.dtype)
         grid_q = normalize_grid_2d(grid_full).reshape(N, 2)
-        bias = CPB(self.dim // 4, heads=H, offset_groups=G, depth=2,
-                   name="rel_pos_bias")(grid_q, pts)
-        sim = sim + bias
-        sim = sim - jax.lax.stop_gradient(jnp.max(sim, axis=-1, keepdims=True))
-        attn = jax.nn.softmax(sim, axis=-1)
-        attn_return = attn
-        attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
-
-        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(cdt), vh.astype(cdt),
-                         preferred_element_type=jnp.float32)
+        cpb = CPB(self.dim // 4, heads=H, offset_groups=G, depth=2,
+                  name="rel_pos_bias")
+        if layout == "kn":
+            # transposed layout: i = query, j = kv; sim/softmax/PV in
+            # [B,H,Nk,Nq] so the transposed CPB kernel output is consumed
+            # with zero relayouts
+            sim = jnp.einsum("bhjd,bhid->bhji", kh.astype(cdt),
+                             qh.astype(cdt),
+                             preferred_element_type=jnp.float32)  # [B,H,K,N]
+            sim = sim + cpb(grid_q, pts, transposed=True)
+            sim = sim - jax.lax.stop_gradient(
+                jnp.max(sim, axis=-2, keepdims=True))
+            attn = jax.nn.softmax(sim, axis=-2)
+            attn_return = attn
+            attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
+            out = jnp.einsum("bhji,bhjd->bhid", attn.astype(cdt),
+                             vh.astype(cdt),
+                             preferred_element_type=jnp.float32)
+        else:
+            sim = jnp.einsum("bhid,bhjd->bhij", qh.astype(cdt),
+                             kh.astype(cdt),
+                             preferred_element_type=jnp.float32)  # [B,H,N,K]
+            sim = sim + cpb(grid_q, pts)
+            sim = sim - jax.lax.stop_gradient(
+                jnp.max(sim, axis=-1, keepdims=True))
+            attn = jax.nn.softmax(sim, axis=-1)
+            attn_return = attn
+            attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
+            out = jnp.einsum("bhij,bhjd->bhid", attn.astype(cdt),
+                             vh.astype(cdt),
+                             preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
         out = nn.Dense(self.dim, use_bias=True, name="to_out")(out)
 

@@ -1372,3 +1372,209 @@ def _cpb5_vjp_bwd(interpret, res, dbias):
 
 
 cpb_bias_grids_fused.defvjp(_cpb5_vjp_fwd, _cpb5_vjp_bwd)
+
+
+# ===========================================================================
+# Transposed CPB kernel (v7: (bh, k, n) stream order — the production winner)
+# ===========================================================================
+# In the v1 path the expensive part is not the MLP kernel (~1.0 ms) but the
+# XLA glue around it: materializing the fx/fy position streams ([BH,N,K] ->
+# flat relayouts, 92 MB per attention per direction) and the backward's
+# dfx/dfy streams + middle-axis dgkv reduction.  Transposing the stream
+# order to (bh, k, n) makes both parts collapse:
+#   - within one row (all N queries of ONE (bh, k) pair) the kv coordinate
+#     is a per-row SCALAR and the query coordinates are one static [2, N]
+#     VMEM constant (grid_q is a model constant) — position diffs are two
+#     VPU broadcasts, nothing crosses HBM;
+#   - the dgkv reduction is a lane-sum of the row, emitted as a tiny
+#     [R, 2] array (R = BH*K), reduced per-bh by XLA for free.
+# The bias comes out in [BH, K, N] layout; DeformCrossAttention2D's "kn"
+# attention layout (models/deform_attention.py) computes sim/softmax/PV in
+# the same layout, so no transpose ever materializes.  The consistency
+# losses contract attention maps over all trailing axes and are layout-
+# independent (train/losses.py).
+
+_T_ROWS = 8  # (bh, k) rows per grid step; f32 sublane tile
+
+
+def _cpbt_mlp_row(fx, fy, w1, b1c, w2, b2c, w3, b3):
+    """Wide MLP on one [1, N] row pair -> (bias [1,N], h1 [HID,N], h2)."""
+    h1 = jnp.maximum(w1[0][:, None] * fx + w1[1][:, None] * fy + b1c, 0.0)
+    h2 = jax.lax.dot_general(w2, h1, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    h2 = jnp.maximum(h2 + b2c, 0.0)
+    bias = (jax.lax.dot_general(w3, h2, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) + b3[0])
+    return bias, h1, h2
+
+
+def _cpbt_row_pos(qp, gkv, g):
+    """px, py, fx, fy [1, N] for block row g (kv coord is a scalar)."""
+    px = qp[0:1, :] - gkv[g:g + 1, 0:1]
+    py = qp[1:2, :] - gkv[g:g + 1, 1:2]
+    fx = jnp.sign(px) * jnp.log1p(jnp.abs(px))
+    fy = jnp.sign(py) * jnp.log1p(jnp.abs(py))
+    return px, py, fx, fy
+
+
+def _cpbt_fwd_kernel(qp_ref, gkv_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                     w3_ref, b3_ref, bias_ref):
+    qp = qp_ref[...]                                   # [2, N] static coords
+    gkv = gkv_ref[...]                                 # [_T_ROWS, 2]
+    w1 = w1_ref[...]
+    b1c = b1_ref[...][:, None]
+    b2c = b2_ref[...][:, None]
+    w2 = w2_ref[...]
+    w3 = w3_ref[...]
+    b3 = b3_ref[...]
+    rows = []
+    for g in range(_T_ROWS):
+        _, _, fx, fy = _cpbt_row_pos(qp, gkv, g)
+        bias, _, _ = _cpbt_mlp_row(fx, fy, w1, b1c, w2, b2c, w3, b3)
+        rows.append(bias)
+    bias_ref[...] = jnp.concatenate(rows, axis=0)      # [_T_ROWS, N]
+
+
+def _cpbt_bwd_kernel(qp_ref, gkv_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                     w3_ref, b3_ref, dbias_ref,
+                     dgkv_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                     dw3_ref, db3_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        dw3_ref[...] = jnp.zeros_like(dw3_ref)
+        db3_ref[...] = jnp.zeros_like(db3_ref)
+
+    qp = qp_ref[...]
+    gkv = gkv_ref[...]
+    w1 = w1_ref[...]
+    w2 = w2_ref[...]
+    w3 = w3_ref[...]
+    b1c = b1_ref[...][:, None]
+    b2c = b2_ref[...][:, None]
+    b3 = b3_ref[...]
+    db_all = dbias_ref[...]                            # [_T_ROWS, N]
+    dg_rows = []
+    for g in range(_T_ROWS):
+        px, py, fx, fy = _cpbt_row_pos(qp, gkv, g)
+        _, h1, h2 = _cpbt_mlp_row(fx, fy, w1, b1c, w2, b2c, w3, b3)
+        db = db_all[g:g + 1, :]                        # [1, N]
+        dw3_ref[...] += jax.lax.dot_general(
+            h2, db, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [HID, 1]
+        db3_ref[...] += jnp.sum(db, axis=1, keepdims=True)
+        dh2 = w3 * db                                  # [HID, N]
+        dh2 = dh2 * (h2 > 0).astype(jnp.float32)
+        dw2_ref[...] += jax.lax.dot_general(
+            h1, dh2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [HID, HID]
+        db2_ref[...] += jnp.sum(dh2, axis=1, keepdims=True)
+        dh1 = jax.lax.dot_general(w2, dh2, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dh1 = dh1 * (h1 > 0).astype(jnp.float32)       # [HID, N]
+        db1_ref[...] += jnp.sum(dh1, axis=1, keepdims=True)
+        dw1_ref[...] += jnp.concatenate([
+            jax.lax.dot_general(fx, dh1, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32),
+            jax.lax.dot_general(fy, dh1, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)],
+            axis=0)                                    # [2, HID]
+        dfx = jax.lax.dot_general(w1[0:1, :], dh1, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dfy = jax.lax.dot_general(w1[1:2, :], dh1, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dpx = dfx / (1.0 + jnp.abs(px))                # [1, N]
+        dpy = dfy / (1.0 + jnp.abs(py))
+        dg_rows.append(jnp.concatenate([
+            -jnp.sum(dpx, axis=1, keepdims=True),
+            -jnp.sum(dpy, axis=1, keepdims=True)], axis=1))  # [1, 2]
+    dgkv_ref[...] = jnp.concatenate(dg_rows, axis=0)   # [_T_ROWS, 2]
+
+
+def _cpbt_fwd_call(grid_q, grid_kv, w1, b1, w2, b2, w3, b3, interpret):
+    N = grid_q.shape[0]
+    BH, K, _ = grid_kv.shape
+    R = BH * K
+    R_pad = _round_up(R, _T_ROWS)
+    qp = grid_q.T                                      # [2, N]
+    gkv_rows = _pad_n(grid_kv.reshape(R, 2), R_pad, axis=0)
+    grid = (R_pad // _T_ROWS,)
+    bias = pl.pallas_call(
+        _cpbt_fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # qp [2,N]
+            pl.BlockSpec((_T_ROWS, 2), lambda i: (i, 0)),       # gkv rows
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec((_T_ROWS, N), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((R_pad, N), jnp.float32),
+        interpret=interpret,
+    )(qp, gkv_rows, w1, b1, w2, b2, w3, b3)
+    return bias[:R].reshape(BH, K, N)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def cpb_bias_transposed(grid_q, grid_kv, w1, b1, w2, b2, w3, b3,
+                        interpret=False):
+    """Transposed-layout CPB: grid_q [N,2] (STATIC; zero cotangent),
+    grid_kv [BH,K,2], MLP params -> bias [BH, K, N] (kv-major).  Position
+    diffs, the log transform and the dgkv reduction all run in-kernel; no
+    [BH*N*K] position streams ever touch HBM."""
+    return _cpbt_fwd_call(grid_q, grid_kv, w1, b1, w2, b2, w3, b3, interpret)
+
+
+def _cpbt_vjp_fwd(grid_q, grid_kv, w1, b1, w2, b2, w3, b3, interpret):
+    bias = _cpbt_fwd_call(grid_q, grid_kv, w1, b1, w2, b2, w3, b3, interpret)
+    return bias, (grid_q, grid_kv, w1, b1, w2, b2, w3, b3)
+
+
+def _cpbt_vjp_bwd(interpret, res, dbias):
+    grid_q, grid_kv, w1, b1, w2, b2, w3, b3 = res
+    N = grid_q.shape[0]
+    BH, K, _ = grid_kv.shape
+    R = BH * K
+    R_pad = _round_up(R, _T_ROWS)
+    qp = grid_q.T
+    gkv_rows = _pad_n(grid_kv.reshape(R, 2), R_pad, axis=0)
+    db = _pad_n(dbias.reshape(R, N), R_pad, axis=0)    # zero rows in pad
+    grid = (R_pad // _T_ROWS,)
+    outs = pl.pallas_call(
+        _cpbt_bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((_T_ROWS, 2), lambda i: (i, 0)),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6 + [
+            pl.BlockSpec((_T_ROWS, N), lambda i: (i, 0)),       # dbias
+        ],
+        out_specs=[
+            pl.BlockSpec((_T_ROWS, 2), lambda i: (i, 0)),       # dgkv rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R_pad, 2), jnp.float32),
+            jax.ShapeDtypeStruct((2, HID), jnp.float32),
+            jax.ShapeDtypeStruct((HID, 1), jnp.float32),
+            jax.ShapeDtypeStruct((HID, HID), jnp.float32),
+            jax.ShapeDtypeStruct((HID, 1), jnp.float32),
+            jax.ShapeDtypeStruct((HID, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, gkv_rows, w1, b1, w2, b2, w3, b3, db)
+    dgkv, dw1, db1, dw2, db2, dw3, db3 = outs
+    return (jnp.zeros_like(grid_q), dgkv[:R].reshape(BH, K, 2),
+            dw1, db1[:, 0], dw2, db2[:, 0], dw3, db3[0])
+
+
+cpb_bias_transposed.defvjp(_cpbt_vjp_fwd, _cpbt_vjp_bwd)

@@ -96,18 +96,23 @@ class Evaluator:
 
     def export_attention_maps(self, state, loader, path: str):
         """Attention-heatmap export (reference train_test.py:1121-1177):
-        per-head max then mean over kv positions, saved with wsi ids."""
+        per-head max then mean over kv positions, saved with wsi ids.
+        Layout-aware: on TPU the 2-D deform attention emits kv-major "kn"
+        maps (models/deform_attention.py attn_kv_axis)."""
+        from ..models.deform_attention import attn_kv_axis
+
+        kv_ax = attn_kv_axis()  # -1 ("nk") or -2 ("kn") for the 4-D map
         maps, ids = [], []
         for batch in loader:
             arrays = batch_to_arrays(batch)
             out = self.step(state.params, state.batch_stats, arrays)
             att_dict = out[1]
             key = sorted(att_dict.keys())[0]
-            att = np.asarray(att_dict[key])  # [B, H, N, K]
+            att = np.asarray(att_dict[key])  # [B,H,N,K] or [B,H,K,N]
             pad = getattr(batch, "pad", 0)
             if pad:
                 att = att[: att.shape[0] - pad]
-            maps.append(att.max(axis=1).mean(axis=-1))  # [B, N]
+            maps.append(att.max(axis=1).mean(axis=kv_ax))  # [B, N]
             if batch.wsi_id is not None:
                 wsi = list(batch.wsi_id)
                 ids.extend(wsi[: len(wsi) - pad] if pad else wsi)
@@ -168,8 +173,13 @@ def save_roc_csv(path: str, ground_truth, activations):
             w.writerow([int(y)] + [float(v) for v in row])
 
 
-def save_attention_maps(path: str, att: np.ndarray, wsi_ids):
+def save_attention_maps(path: str, att: np.ndarray, wsi_ids, kv_axis=None):
     """Attention-map export for heatmap visualization: per-head max then mean
-    over kv positions (reference train_test.py:1138-1141)."""
-    maps = att.max(axis=1).mean(axis=-1) if att.ndim == 4 else att
+    over kv positions (reference train_test.py:1138-1141).  ``kv_axis``
+    defaults to the active 2-D deform-attention layout (attn_kv_axis)."""
+    if kv_axis is None:
+        from ..models.deform_attention import attn_kv_axis
+
+        kv_axis = attn_kv_axis()
+    maps = att.max(axis=1).mean(axis=kv_axis) if att.ndim == 4 else att
     np.savez(path, attention=maps, wsi_ids=np.asarray(wsi_ids))

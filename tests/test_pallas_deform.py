@@ -197,3 +197,102 @@ def test_cpb_bias_wide4_forward_and_grads(rng):
                                        err_msg=f"wide4 cpb grad {n}")
     finally:
         da._W4_CHUNK = old_chunk
+
+
+def test_cpb_bias_transposed_forward_and_grads(rng):
+    """v7 transposed kernel ([BH,K,N] kv-major output, in-kernel position
+    diffs + dgkv): forward and every gradient vs the jnp reference."""
+    from disentangled_multimodal_learning_tpu.ops.pallas import deform_attn as da
+
+    q, k, v, gq, gkv, w1, b1, w2, b2, w3, b3 = make_inputs(rng, BH=2, N=24, K=8)
+    got = da.cpb_bias_transposed(gq, gkv, w1, b1, w2, b2, w3, b3,
+                                 interpret=True)
+    want = jnp.swapaxes(_cpb_ref(gq, gkv, w1, b1, w2, b2, w3, b3), 1, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-4)
+
+    def loss_fused(gkv, w1, b1, w2, b2, w3, b3):
+        b = da.cpb_bias_transposed(gq, gkv, w1, b1, w2, b2, w3, b3,
+                                   interpret=True)
+        return jnp.sum(jnp.sin(b) * b)
+
+    def loss_ref(gkv, w1, b1, w2, b2, w3, b3):
+        b = jnp.swapaxes(_cpb_ref(gq, gkv, w1, b1, w2, b2, w3, b3), 1, 2)
+        return jnp.sum(jnp.sin(b) * b)
+
+    args = (gkv, w1, b1, w2, b2, w3, b3)
+    gf = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    for n, a, b_ in zip(["gkv", "w1", "b1", "w2", "b2", "w3", "b3"], gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=1e-3,
+                                   err_msg=f"transposed cpb grad {n}")
+
+
+def test_cpb_bias_transposed_row_padding(rng):
+    """BH*K not a multiple of the row-block: padded rows must not leak into
+    weight gradients."""
+    from disentangled_multimodal_learning_tpu.ops.pallas import deform_attn as da
+
+    q, k, v, gq, gkv, w1, b1, w2, b2, w3, b3 = make_inputs(rng, BH=3, N=16, K=5)
+    assert (3 * 5) % da._T_ROWS != 0
+    got = da.cpb_bias_transposed(gq, gkv, w1, b1, w2, b2, w3, b3,
+                                 interpret=True)
+    want = jnp.swapaxes(_cpb_ref(gq, gkv, w1, b1, w2, b2, w3, b3), 1, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-4)
+
+    def loss_fused(w2):
+        b = da.cpb_bias_transposed(gq, gkv, w1, b1, w2, b2, w3, b3,
+                                   interpret=True)
+        return jnp.sum(b ** 2)
+
+    def loss_ref(w2):
+        return jnp.sum(_cpb_ref(gq, gkv, w1, b1, w2, b2, w3, b3) ** 2)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(loss_fused)(w2)),
+                               np.asarray(jax.grad(loss_ref)(w2)),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_attn_layout_kn_matches_nk(rng):
+    """The TPU-native "kn" attention layout is bit-equivalent to the
+    reference "nk" layout: same out, transposed attn, identical grads."""
+    from disentangled_multimodal_learning_tpu.models.deform_attention import (
+        DeformCrossAttention2D)
+
+    x1 = jnp.asarray(rng.normal(size=(2, 64, 128)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(2, 64, 128)).astype(np.float32))
+    m_nk = DeformCrossAttention2D(dim=128, dropout=0.0, attn_layout="nk")
+    m_kn = DeformCrossAttention2D(dim=128, dropout=0.0, attn_layout="kn")
+    v = m_nk.init({"params": jax.random.PRNGKey(0)}, x1, x2,
+                  deterministic=True)
+    o1, a1 = m_nk.apply(v, x1, x2, deterministic=True)
+    o2, a2 = m_kn.apply(v, x1, x2, deterministic=True)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a1),
+                               np.asarray(jnp.swapaxes(a2, -1, -2)),
+                               atol=1e-6)
+
+    def loss(mod):
+        def f(p):
+            out, attn = mod.apply({"params": p}, x1, x2, deterministic=True)
+            return jnp.sum(out ** 2) + jnp.sum(attn ** 2)
+        return f
+
+    g1 = jax.grad(loss(m_nk))(v["params"])
+    g2 = jax.grad(loss(m_kn))(v["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_attn_kv_axis_helper():
+    from disentangled_multimodal_learning_tpu.models.deform_attention import (
+        attn_kv_axis)
+
+    assert attn_kv_axis("nk") == -1
+    assert attn_kv_axis("kn") == -2
+    # on the CPU test backend "auto" resolves to the reference layout
+    assert attn_kv_axis("auto") == -1
