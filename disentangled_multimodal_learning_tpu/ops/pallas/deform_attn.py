@@ -1578,3 +1578,338 @@ def _cpbt_vjp_bwd(interpret, res, dbias):
 
 
 cpb_bias_transposed.defvjp(_cpbt_vjp_fwd, _cpbt_vjp_bwd)
+
+
+# ===========================================================================
+# Fused kn-layout deformable attention (v8: CPB + sim + softmax + PV in one
+# kernel, transposed (bh, k, n) world — the production attention path)
+# ===========================================================================
+# With the "kn" layout established (v7), the whole attention body fuses into
+# one kernel per (b, h): the CPB bias rows build in VMEM scratch (position
+# diffs from the static [2, N] query constant + per-row kv scalars), sim is
+# one [K,D]x[N,D]^T MXU contraction, softmax reduces over the SUBLANE axis
+# (max: native sublane reduce; sum: ones-matmul), and PV contracts sublanes
+# again.  Nothing but q/k/v/out/attn crosses HBM — the [K, N] sim and bias
+# never materialize.  Dropout is seeded per (bh) with the TPU PRNG and
+# regenerated in the backward, so no mask is stored.
+#
+# MEASURED NEGATIVE RESULT (v5e, production shapes [32, 2500, 64], K=144,
+# interleaved min-of-5 to defeat tunnel noise): fwd+bwd 4.45 ms vs 4.05 for
+# the v7 kernel + XLA composition; with dropout 0.1, 4.58 vs 3.89.  The
+# composition wins because XLA runs the sim and PV einsums in bf16 with
+# well-scheduled fused softmax/dropout, while this kernel's f32 dot_generals
+# and per-(bh) grid give no traffic advantage once the attn map must be
+# materialized for the consistency losses anyway.  Kept golden-tested as
+# the fallback for a future no-attn-output path (where sim/attn never
+# touching HBM WOULD cut traffic).
+
+_KN_KB = 8  # CPB rows built per fori step (sublane tile)
+
+
+def _kn_cpb_chunk(qp, gkv_ref, i, KB, w1, b1c, w2, b2c, w3, b3):
+    """KB consecutive bias rows [KB, N] for kv rows i*KB.. (VMEM only)."""
+    rows = []
+    for g in range(KB):
+        gx = gkv_ref[0, pl.ds(i * KB + g, 1), :]       # [1, 2]
+        px = qp[0:1, :] - gx[:, 0:1]
+        py = qp[1:2, :] - gx[:, 1:2]
+        fx = jnp.sign(px) * jnp.log1p(jnp.abs(px))
+        fy = jnp.sign(py) * jnp.log1p(jnp.abs(py))
+        h1 = jnp.maximum(w1[0][:, None] * fx + w1[1][:, None] * fy + b1c,
+                         0.0)                          # [HID, N]
+        h2 = jax.lax.dot_general(w2, h1, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        h2 = jnp.maximum(h2 + b2c, 0.0)
+        rows.append(jax.lax.dot_general(w3, h2, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                    + b3[0])
+    return jnp.concatenate(rows, axis=0)
+
+
+def _kn_softmax(sim, K):
+    """Softmax over the sublane (kv) axis of [K, N]."""
+    m = jnp.max(sim, axis=0, keepdims=True)            # sublane max [1, N]
+    e = jnp.exp(sim - m)
+    denom = jax.lax.dot_general(jnp.ones((1, K), jnp.float32), e,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    return e * (1.0 / denom)
+
+
+def _kn_dropout_mask(seed_ref, bh, shape, rate):
+    pltpu.prng_seed(seed_ref[0] + bh * 65537)
+    bits = pltpu.prng_random_bits(shape)
+    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    return (u >= rate).astype(jnp.float32)
+
+
+def _kn_fwd_kernel(seed_ref, qp_ref, gkv_ref, q_ref, k_ref, v_ref,
+                   w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                   out_ref, attn_ref, bias_scratch, *, KB, dropout_rate):
+    bh = pl.program_id(0)
+    K, N = attn_ref.shape[1], attn_ref.shape[2]
+    qp = qp_ref[...]
+    w1 = w1_ref[...]
+    b1c = b1_ref[...][:, None]
+    b2c = b2_ref[...][:, None]
+    w2 = w2_ref[...]
+    w3 = w3_ref[...]
+    b3 = b3_ref[...]
+
+    def body(i, _):
+        bias_scratch[pl.ds(i * KB, KB), :] = _kn_cpb_chunk(
+            qp, gkv_ref, i, KB, w1, b1c, w2, b2c, w3, b3)
+        return 0
+
+    jax.lax.fori_loop(0, K // KB, body, 0)
+
+    q = q_ref[0]                                       # [N, D] (pre-scaled)
+    k = k_ref[0]                                       # [K, D]
+    v = v_ref[0]
+    sim = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [K, N]
+    p = _kn_softmax(sim + bias_scratch[...], K)
+    attn_ref[0] = p                                    # pre-dropout
+    if dropout_rate > 0.0:
+        mask = _kn_dropout_mask(seed_ref, bh, p.shape, dropout_rate)
+        p = p * mask * (1.0 / (1.0 - dropout_rate))
+    out_ref[0] = jax.lax.dot_general(p, v, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+
+def _kn_bwd_kernel(seed_ref, qp_ref, gkv_ref, q_ref, k_ref, v_ref,
+                   w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                   attn_ref, gout_ref, gattn_ref,
+                   dq_ref, dk_ref, dv_ref, dgkv_ref,
+                   dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref,
+                   bias_scratch, *, KB, dropout_rate):
+    bh = pl.program_id(0)
+
+    @pl.when(bh == 0)
+    def _():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        dw3_ref[...] = jnp.zeros_like(dw3_ref)
+        db3_ref[...] = jnp.zeros_like(db3_ref)
+
+    K, N = gattn_ref.shape[1], gattn_ref.shape[2]
+    qp = qp_ref[...]
+    w1 = w1_ref[...]
+    b1c = b1_ref[...][:, None]
+    b2c = b2_ref[...][:, None]
+    w2 = w2_ref[...]
+    w3 = w3_ref[...]
+    b3 = b3_ref[...]
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    # the forward's attn output IS the softmax residual — read it back
+    # (46 MB) instead of recomputing the whole CPB+sim+softmax chain (~1 ms)
+    p = attn_ref[0]                                    # [K, N] pre-dropout
+
+    g_out = gout_ref[0]                                # [N, D]
+    g_attn = gattn_ref[0]                              # [K, N]
+
+    if dropout_rate > 0.0:
+        mask = _kn_dropout_mask(seed_ref, bh, p.shape, dropout_rate)
+        scale = 1.0 / (1.0 - dropout_rate)
+        p_used = p * mask * scale
+    else:
+        mask = None
+        p_used = p
+
+    dv_ref[0] = jax.lax.dot_general(p_used, g_out, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(v, g_out, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [K, N]
+    if mask is not None:
+        dp = dp * mask * scale
+    dp = dp + g_attn
+    colsum = jax.lax.dot_general(jnp.ones((1, K), jnp.float32), p * dp,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    ds = p * (dp - colsum)                             # [K, N]
+    dq_ref[0] = jax.lax.dot_general(ds, k, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    dk_ref[0] = jax.lax.dot_general(ds, q, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+
+    # --- CPB backward: recompute rows, consume ds rows from scratch --------
+    bias_scratch[...] = ds
+
+    def bwd_body(i, _):
+        for g in range(KB):
+            gx = gkv_ref[0, pl.ds(i * KB + g, 1), :]
+            px = qp[0:1, :] - gx[:, 0:1]
+            py = qp[1:2, :] - gx[:, 1:2]
+            fx = jnp.sign(px) * jnp.log1p(jnp.abs(px))
+            fy = jnp.sign(py) * jnp.log1p(jnp.abs(py))
+            h1 = jnp.maximum(w1[0][:, None] * fx + w1[1][:, None] * fy + b1c,
+                             0.0)
+            h2 = jax.lax.dot_general(w2, h1, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            h2 = jnp.maximum(h2 + b2c, 0.0)
+            db = bias_scratch[pl.ds(i * KB + g, 1), :]  # ds row [1, N]
+            dw3_ref[...] += jax.lax.dot_general(
+                h2, db, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            db3_ref[...] += jnp.sum(db, axis=1, keepdims=True)
+            dh2 = w3 * db
+            dh2 = dh2 * (h2 > 0).astype(jnp.float32)
+            dw2_ref[...] += jax.lax.dot_general(
+                h1, dh2, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            db2_ref[...] += jnp.sum(dh2, axis=1, keepdims=True)
+            dh1 = jax.lax.dot_general(w2, dh2, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            dh1 = dh1 * (h1 > 0).astype(jnp.float32)
+            db1_ref[...] += jnp.sum(dh1, axis=1, keepdims=True)
+            dw1_ref[...] += jnp.concatenate([
+                jax.lax.dot_general(fx, dh1, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32),
+                jax.lax.dot_general(fy, dh1, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)],
+                axis=0)
+            dfx = jax.lax.dot_general(w1[0:1, :], dh1,
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            dfy = jax.lax.dot_general(w1[1:2, :], dh1,
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            dpx = dfx / (1.0 + jnp.abs(px))
+            dpy = dfy / (1.0 + jnp.abs(py))
+            dgkv_ref[0, pl.ds(i * KB + g, 1), :] = jnp.concatenate([
+                -jnp.sum(dpx, axis=1, keepdims=True),
+                -jnp.sum(dpy, axis=1, keepdims=True)], axis=1)
+        return 0
+
+    jax.lax.fori_loop(0, K // KB, bwd_body, 0)
+
+
+def _kn_kb(K: int):
+    """CPB chunk rows: 8 when it divides K, else K itself for small K."""
+    if K % _KN_KB == 0:
+        return _KN_KB
+    return K if K <= _KN_KB else None
+
+
+_KN_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _kn_call_fwd(q, k, v, grid_q, grid_kv, w1, b1, w2, b2, w3, b3, seed,
+                 dropout_rate, interpret):
+    BH, N, D = q.shape
+    K = k.shape[1]
+    KB = _kn_kb(K)
+    out, attn = pl.pallas_call(
+        functools.partial(_kn_fwd_kernel, KB=KB, dropout_rate=dropout_rate),
+        grid=(BH,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # seed
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # qp [2,N]
+            pl.BlockSpec((1, K, 2), lambda i: (i, 0, 0)),       # grid_kv
+            pl.BlockSpec((1, N, D), lambda i: (i, 0, 0)),       # q
+            pl.BlockSpec((1, K, D), lambda i: (i, 0, 0)),       # k
+            pl.BlockSpec((1, K, D), lambda i: (i, 0, 0)),       # v
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=[
+            pl.BlockSpec((1, N, D), lambda i: (i, 0, 0)),       # out
+            pl.BlockSpec((1, K, N), lambda i: (i, 0, 0)),       # attn
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, N, D), jnp.float32),
+            jax.ShapeDtypeStruct((BH, K, N), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((K, N), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_KN_VMEM_LIMIT),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.float32).reshape(1).astype(jnp.int32),
+      grid_q.T, grid_kv, q, k, v, w1, b1, w2, b2, w3, b3)
+    return out, attn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13))
+def fused_deform_attention_kn(q, k, v, grid_q, grid_kv, w1, b1, w2, b2, w3,
+                              b3, seed, dropout_rate=0.0, interpret=False):
+    """Fused kn-layout deformable attention.
+
+    q [BH,N,D] (PRE-scaled), k/v [BH,K,D], grid_q [N,2] (STATIC; zero
+    cotangent), grid_kv [BH,K,2], CPB MLP params, seed (int scalar; dropout
+    masks are seeded per (bh) and regenerated in the backward).  Returns
+    (out [BH,N,D], attn [BH,K,N] pre-dropout, kv-major).
+    """
+    out, attn = _kn_call_fwd(q, k, v, grid_q, grid_kv, w1, b1, w2, b2, w3,
+                             b3, seed, dropout_rate, interpret)
+    return out, attn
+
+
+def _kn_vjp_fwd(q, k, v, grid_q, grid_kv, w1, b1, w2, b2, w3, b3, seed,
+                dropout_rate, interpret):
+    out, attn = _kn_call_fwd(q, k, v, grid_q, grid_kv, w1, b1, w2, b2, w3,
+                             b3, seed, dropout_rate, interpret)
+    return (out, attn), (q, k, v, grid_q, grid_kv, w1, b1, w2, b2, w3, b3,
+                         seed, attn)
+
+
+def _kn_vjp_bwd(dropout_rate, interpret, res, gouts):
+    q, k, v, grid_q, grid_kv, w1, b1, w2, b2, w3, b3, seed, attn = res
+    g_out, g_attn = gouts
+    BH, N, D = q.shape
+    K = k.shape[1]
+    KB = _kn_kb(K)
+    outs = pl.pallas_call(
+        functools.partial(_kn_bwd_kernel, KB=KB, dropout_rate=dropout_rate),
+        grid=(BH,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 2), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, N, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, K, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, K, D), lambda i: (i, 0, 0)),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6 + [
+            pl.BlockSpec((1, K, N), lambda i: (i, 0, 0)),       # attn (fwd)
+            pl.BlockSpec((1, N, D), lambda i: (i, 0, 0)),       # g_out
+            pl.BlockSpec((1, K, N), lambda i: (i, 0, 0)),       # g_attn
+        ],
+        out_specs=[
+            pl.BlockSpec((1, N, D), lambda i: (i, 0, 0)),       # dq
+            pl.BlockSpec((1, K, D), lambda i: (i, 0, 0)),       # dk
+            pl.BlockSpec((1, K, D), lambda i: (i, 0, 0)),       # dv
+            pl.BlockSpec((1, K, 2), lambda i: (i, 0, 0)),       # dgkv
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, N, D), jnp.float32),
+            jax.ShapeDtypeStruct((BH, K, D), jnp.float32),
+            jax.ShapeDtypeStruct((BH, K, D), jnp.float32),
+            jax.ShapeDtypeStruct((BH, K, 2), jnp.float32),
+            jax.ShapeDtypeStruct((2, HID), jnp.float32),
+            jax.ShapeDtypeStruct((HID, 1), jnp.float32),
+            jax.ShapeDtypeStruct((HID, HID), jnp.float32),
+            jax.ShapeDtypeStruct((HID, 1), jnp.float32),
+            jax.ShapeDtypeStruct((HID, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((K, N), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_KN_VMEM_LIMIT),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.float32).reshape(1).astype(jnp.int32),
+      grid_q.T, grid_kv, q, k, v, w1, b1, w2, b2, w3, b3, attn, g_out,
+      g_attn)
+    dq, dk, dv, dgkv, dw1, db1, dw2, db2, dw3, db3 = outs
+    return (dq, dk, dv, jnp.zeros_like(grid_q), dgkv, dw1, db1[:, 0], dw2,
+            db2[:, 0], dw3, db3[0], jnp.zeros(()))
+
+
+fused_deform_attention_kn.defvjp(_kn_vjp_fwd, _kn_vjp_bwd)

@@ -296,3 +296,59 @@ def test_attn_kv_axis_helper():
     assert attn_kv_axis("kn") == -2
     # on the CPU test backend "auto" resolves to the reference layout
     assert attn_kv_axis("auto") == -1
+
+
+def test_fused_kn_forward_and_grads(rng):
+    """v8 fused kn-layout attention (CPB+sim+softmax+PV in one kernel;
+    measured negative result at production scale, kept correct): forward and
+    every gradient vs the jnp reference."""
+    from disentangled_multimodal_learning_tpu.ops.pallas.deform_attn import (
+        deform_attention_reference, fused_deform_attention_kn)
+
+    q, k, v, gq, gkv, w1, b1, w2, b2, w3, b3 = make_inputs(rng, BH=3, N=40,
+                                                           K=16, D=8)
+    out, attn = fused_deform_attention_kn(q, k, v, gq, gkv, w1, b1, w2, b2,
+                                          w3, b3, 0, 0.0, True)
+    ref_out, ref_attn = deform_attention_reference(q, k, v, gq, gkv, w1, b1,
+                                                   w2, b2, w3, b3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(attn, 1, 2)),
+                               np.asarray(ref_attn), atol=1e-5, rtol=1e-4)
+
+    def loss_k(q, k, v, gkv, w1, b1, w2, b2, w3, b3):
+        o, a = fused_deform_attention_kn(q, k, v, gq, gkv, w1, b1, w2, b2,
+                                         w3, b3, 0, 0.0, True)
+        return jnp.sum(o ** 2) + jnp.sum(jnp.sin(a))
+
+    def loss_r(q, k, v, gkv, w1, b1, w2, b2, w3, b3):
+        o, a = deform_attention_reference(q, k, v, gq, gkv, w1, b1, w2, b2,
+                                          w3, b3)
+        return jnp.sum(o ** 2) + jnp.sum(jnp.sin(jnp.swapaxes(a, 1, 2)))
+
+    args = (q, k, v, gkv, w1, b1, w2, b2, w3, b3)
+    gk = jax.grad(loss_k, argnums=tuple(range(10)))(*args)
+    gr = jax.grad(loss_r, argnums=tuple(range(10)))(*args)
+    # b3 excluded: softmax is invariant to the constant bias shift, so its
+    # true gradient is 0 and both sides return float noise around it
+    for n, a, b in list(zip(["q", "k", "v", "gkv", "w1", "b1", "w2", "b2",
+                             "w3"], gk, gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   rtol=1e-3, err_msg=f"fused-kn grad {n}")
+
+
+def test_fused_kn_row_padding_na(rng):
+    """K not a multiple of 8 but <= 8: the KB=K fallback path."""
+    from disentangled_multimodal_learning_tpu.ops.pallas.deform_attn import (
+        deform_attention_reference, fused_deform_attention_kn)
+
+    q, k, v, gq, gkv, w1, b1, w2, b2, w3, b3 = make_inputs(rng, BH=2, N=24,
+                                                           K=5, D=8)
+    out, attn = fused_deform_attention_kn(q, k, v, gq, gkv, w1, b1, w2, b2,
+                                          w3, b3, 0, 0.0, True)
+    ref_out, ref_attn = deform_attention_reference(q, k, v, gq, gkv, w1, b1,
+                                                   w2, b2, w3, b3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(attn, 1, 2)),
+                               np.asarray(ref_attn), atol=1e-5, rtol=1e-4)
