@@ -91,6 +91,9 @@ class Config:
 
     # dataset
     fixdim: int = 2500
+    # bucketed variable-length bags: comma-separated perfect-square
+    # bucket sizes (e.g. "400,900,1600,2500"); empty = fixdim behavior
+    buckets: str = ""
     label_path: str = "./data"
     dataDir: str = "./data/"
     dataDir_pyramid: str = "./data/"
@@ -256,6 +259,10 @@ class Config:
         if self.label_dim != expected:
             # reference relies on the YAML to keep these in sync; we enforce it
             self.label_dim = expected
+        if self.buckets:
+            from .data.bucketing import validate_buckets
+
+            validate_buckets(str(self.buckets).split(","))
         if self.fixdim <= 0:
             raise ValueError("fixdim must be positive")
         n = self.fixdim

@@ -164,19 +164,36 @@ class _CohortDataset:
     def patient_ids(self) -> np.ndarray:
         return self.df["patient_id"].to_numpy()
 
-    def batch(self, indices) -> Batch:
+    def bag_len(self, idx: int) -> int:
+        """True (unpadded) bag length from the .npy header, for bucketed
+        padding (data/bucketing.py); cached per sample."""
+        if not hasattr(self, "_bag_lens"):
+            self._bag_lens = {}
+        if idx not in self._bag_lens:
+            wsi = str(self.df.iloc[idx]["WSI_ID"])
+            path = os.path.join(self.root, "feats10", f"{wsi}.npy")
+            try:
+                self._bag_lens[idx] = int(
+                    np.load(path, mmap_mode="r").shape[0])
+            except (OSError, ValueError):
+                self._bag_lens[idx] = self.fixdim
+        return self._bag_lens[idx]
+
+    def batch(self, indices, pad_to: int | None = None) -> Batch:
         """Assemble a batch; bag IO goes through the native threaded loader
-        (native/dmlt_io.cpp) when available."""
+        (native/dmlt_io.cpp) when available.  ``pad_to`` overrides the
+        fixdim pad/truncate target (bucketed padding)."""
         from .native_io import load_bag_batch
 
+        dim = int(pad_to) if pad_to is not None else self.fixdim
         rows = [self.df.iloc[i] for i in indices]
         ids = [str(r["WSI_ID"]) for r in rows]
         x10 = load_bag_batch(
             [os.path.join(self.root, "feats10", f"{w}.npy") for w in ids],
-            self.fixdim, self.path_dim)
+            dim, self.path_dim)
         x20 = load_bag_batch(
             [os.path.join(self.root, "feats20", f"{w}.npy") for w in ids],
-            self.fixdim, self.path_dim)
+            dim, self.path_dim)
         omic = np.stack([r[self.gene_cols].to_numpy(dtype=np.float32) for r in rows])
         tum = np.stack([r[self.tumor_cols].to_numpy(dtype=np.float32) for r in rows])
         imm = np.stack([r[self.immune_cols].to_numpy(dtype=np.float32) for r in rows])

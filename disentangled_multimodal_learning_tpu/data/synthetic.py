@@ -26,6 +26,7 @@ class SyntheticBagDataset:
         n_survival_bins: int = 4,
         seed: int = 42,
         signal_seed: int | None = None,
+        min_len: int | None = None,
         args=None,
     ):
         if args is not None:  # mirror reference dataset ctor contract (main.py:104-106)
@@ -55,6 +56,12 @@ class SyntheticBagDataset:
         self._surv_bin = rng.integers(0, n_survival_bins, size=size)
         self._censor = rng.integers(0, 2, size=size)
         self._surv_time = rng.integers(30, 3000, size=size)
+        # variable-length bags (for bucketed padding): each bag has a true
+        # length in [min_len, fixdim]; rows beyond it are zero (exactly the
+        # reference's offline fixdim zero-padding semantics)
+        self._lens = (rng.integers(min_len, fixdim + 1, size=size)
+                      if min_len is not None
+                      else np.full(size, fixdim, dtype=np.int64))
 
     # expose the ctor side effects the reference datasets set (main.py:104-106)
     @property
@@ -79,6 +86,10 @@ class SyntheticBagDataset:
         x10 += self._path_means[y][None, :]
         x20 = rng.normal(0, 1, (self.fixdim, self.path_dim)).astype(np.float32)
         x20 += self._path_means[y][None, :]
+        L = int(self._lens[idx])
+        if L < self.fixdim:
+            x10[L:] = 0.0
+            x20[L:] = 0.0
         omic = rng.normal(0, 1, (self.dims[0],)).astype(np.float32) + self._omic_means[y]
         omic_tumor = omic[: self.dims[1]].copy()
         omic_immune = omic[self.dims[0] - self.dims[2]:].copy()
@@ -100,7 +111,18 @@ class SyntheticBagDataset:
     def wsi_id(self, idx: int) -> str:
         return f"SYN-{idx:05d}"
 
-    def batch(self, indices) -> Batch:
+    def bag_len(self, idx: int) -> int:
+        return int(self._lens[idx])
+
+    def batch(self, indices, pad_to: int | None = None) -> Batch:
         items = [self[i] for i in indices]
         cols = [np.stack([it[j] for it in items]) for j in range(6)]
+        if pad_to is not None:
+            for j in (0, 1):
+                bags = cols[j]
+                if pad_to <= bags.shape[1]:
+                    cols[j] = bags[:, :pad_to]
+                else:
+                    cols[j] = np.pad(bags, ((0, 0), (0, pad_to - bags.shape[1]),
+                                            (0, 0)))
         return Batch(*cols, wsi_id=np.array([self.wsi_id(i) for i in indices]))

@@ -50,15 +50,29 @@ DEFAULT_CONFIG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def _make_loaders(cfg, train_ds, test_ds):
-    from disentangled_multimodal_learning_tpu.data import PrefetchLoader
+    from disentangled_multimodal_learning_tpu.data import (BucketedBagLoader,
+                                                           PrefetchLoader)
 
+    if getattr(cfg, "buckets", ""):
+        # bucketed variable-length bags: one compiled executable per
+        # perfect-square bucket size (data/bucketing.py)
+        buckets = [int(b) for b in str(cfg.buckets).split(",")]
+        train_inner = BucketedBagLoader(train_ds, cfg.batch_size,
+                                        buckets=buckets, shuffle=True,
+                                        drop_last=True, seed=cfg.seed)
+        test_loader = (BucketedBagLoader(test_ds, cfg.batch_size,
+                                         buckets=buckets, shuffle=False,
+                                         drop_last=False, seed=cfg.seed)
+                       if test_ds is not None else None)
+    else:
+        train_inner = BagLoader(train_ds, cfg.batch_size, shuffle=True,
+                                drop_last=True, seed=cfg.seed)
+        test_loader = (BagLoader(test_ds, cfg.batch_size, shuffle=False,
+                                 drop_last=False, pad_final=False,
+                                 seed=cfg.seed)
+                       if test_ds is not None else None)
     train_loader = PrefetchLoader(
-        BagLoader(train_ds, cfg.batch_size, shuffle=True, drop_last=True,
-                  seed=cfg.seed),
-        depth=max(1, int(getattr(cfg, "workers", 0)) or 2))
-    test_loader = (BagLoader(test_ds, cfg.batch_size, shuffle=False,
-                             drop_last=False, pad_final=False, seed=cfg.seed)
-                   if test_ds is not None else None)
+        train_inner, depth=max(1, int(getattr(cfg, "workers", 0)) or 2))
     return train_loader, test_loader
 
 
