@@ -197,6 +197,10 @@ class Config:
     # test pass.  The reference presets keep 10 in their YAMLs for workflow
     # parity; lower this deliberately, knowing the cost.)
     eval_every_iters: int = 200
+    # train steps fused into ONE device dispatch via lax.scan (1 = off).
+    # Useful when dispatch latency rivals step compute (remote/tunneled
+    # chips, sub-ms models); eval/logging cadence rounds to multiples of it.
+    scan_steps: int = 1
     eval_during_training: bool = True
     # numerics
     compute_dtype: str = "float32"  # or "bfloat16" for matmul-heavy paths

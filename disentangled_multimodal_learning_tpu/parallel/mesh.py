@@ -42,13 +42,14 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(arrays: dict, mesh: Mesh) -> dict:
+def shard_batch(arrays: dict, mesh: Mesh, batch_axis: int = 0) -> dict:
     """device_put a dict of host arrays with the batch axis sharded.
 
     The global batch size must divide the mesh size (the loader guarantees
-    batch_size % n_devices == 0 via drop_last/pad_final).
-    """
-    sh = batch_sharding(mesh)
+    batch_size % n_devices == 0 via drop_last/pad_final).  ``batch_axis=1``
+    shards stacked multi-step batches ``[K, B, ...]`` (scan_steps > 1)."""
+    spec = P(*([None] * batch_axis + ["data"]))
+    sh = NamedSharding(mesh, spec)
     return {k: jax.device_put(v, sh) for k, v in arrays.items()}
 
 

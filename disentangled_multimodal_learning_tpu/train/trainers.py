@@ -18,6 +18,7 @@ from __future__ import annotations
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..parallel.mesh import get_mesh, shard_batch
@@ -71,8 +72,23 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
         state = init_model_state(model, cfg, sample, tx)
     if evaluator is None:
         evaluator = Evaluator(model, cfg)
-    train_step = jax.jit(
-        make_train_step(model, cfg, tx, teacher_model), donate_argnums=(0,))
+    step_fn = make_train_step(model, cfg, tx, teacher_model)
+    train_step = jax.jit(step_fn, donate_argnums=(0,))
+
+    # scan_steps > 1 fuses K train steps into ONE dispatch (lax.scan over
+    # stacked batches) — the whole inner loop runs device-side, so dispatch
+    # latency (e.g. ~9 ms/call on a tunneled chip) is paid once per K steps
+    scan_k = max(1, int(getattr(cfg, "scan_steps", 1)))
+    if scan_k > 1:
+        def _multi(state, stacked, rngs, tvars):
+            def body(st, xs):
+                arrs, key = xs
+                st, m = step_fn(st, arrs, key, tvars)
+                return st, m["loss"]
+            state, losses = jax.lax.scan(body, state, (stacked, rngs))
+            return state, losses
+
+        multi_step = jax.jit(_multi, donate_argnums=(0,))
 
     rng = jax.random.PRNGKey(cfg.seed + 1234)
     start = time.time()
@@ -95,11 +111,53 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
                                  cfg.plateau_threshold)
                if cfg.lr_policy == "plateau" else None)
 
+    def _maybe_eval(state, metrics, epoch, i, prev_iters):
+        crossed = (cur_iters // cfg.eval_every_iters
+                   > prev_iters // cfg.eval_every_iters)
+        if cfg.eval_during_training and test_loader is not None and crossed:
+            _log_eval(cfg, logger, evaluator, state, test_loader, metrics, mt)
+            m = jax.device_get(metrics)
+            print("\rFold: [%2d/%2d] Epoch: [%2d/%2d] Iter [%4d/%4d] || "
+                  "Time: %4.4f sec || Loss: %.4f"
+                  % (cfg.cur_fold, cfg.kfold, epoch, cfg.epochs, i + 1,
+                     len(train_loader), time.time() - start,
+                     float(m["loss"])), end="", flush=True)
+
     for epoch in range(cfg.epochs):
         train_loader.set_epoch(epoch)
         epoch_losses = []
+        buf = []  # pending (arrays) for the scanned multi-step
         for i, batch in enumerate(train_loader):
             arrays = batch_to_arrays(batch)
+            if scan_k > 1:
+                buf.append(arrays)
+                if len(buf) < scan_k:
+                    continue
+                stacked = {k: jnp.stack([a[k] for a in buf]) for k in buf[0]}
+                buf = []
+                if mesh is not None:
+                    stacked = shard_batch(stacked, mesh, batch_axis=1)
+                rng, sub = jax.random.split(rng)
+                step_rngs = jax.random.split(sub, scan_k)
+                state, losses = multi_step(state, stacked, step_rngs,
+                                           teacher_vars)
+                metrics = {"loss": losses[-1]}
+                prev_iters, cur_iters = cur_iters, cur_iters + scan_k
+                if plateau is not None:
+                    epoch_losses.extend(list(losses))
+                _maybe_eval(state, metrics, epoch, i, prev_iters)
+                continue
+            if mesh is not None:
+                arrays = shard_batch(arrays, mesh)
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = train_step(state, arrays, step_rng, teacher_vars)
+            prev_iters, cur_iters = cur_iters, cur_iters + 1
+            if plateau is not None:
+                epoch_losses.append(metrics["loss"])
+            _maybe_eval(state, metrics, epoch, i, prev_iters)
+
+        # leftover batches not filling a scan chunk run as single steps
+        for arrays in buf:
             if mesh is not None:
                 arrays = shard_batch(arrays, mesh)
             rng, step_rng = jax.random.split(rng)
@@ -107,16 +165,6 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
             cur_iters += 1
             if plateau is not None:
                 epoch_losses.append(metrics["loss"])
-
-            if (cfg.eval_during_training and test_loader is not None
-                    and cur_iters % cfg.eval_every_iters == 0):
-                _log_eval(cfg, logger, evaluator, state, test_loader, metrics, mt)
-                m = jax.device_get(metrics)
-                print("\rFold: [%2d/%2d] Epoch: [%2d/%2d] Iter [%4d/%4d] || "
-                      "Time: %4.4f sec || Loss: %.4f"
-                      % (cfg.cur_fold, cfg.kfold, epoch, cfg.epochs, i + 1,
-                         len(train_loader), time.time() - start,
-                         float(m["loss"])), end="", flush=True)
 
         if plateau is not None and epoch_losses:
             mean_loss = float(np.mean(jax.device_get(epoch_losses)))

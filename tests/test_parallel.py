@@ -116,3 +116,18 @@ def test_graft_entry_single():
     # on CPU; just validate the callable traces with abstract eval
     out_shape = jax.eval_shape(fn, *example_args)
     assert out_shape.shape == (1, 4)
+
+
+def test_scan_steps_sharded_training_runs():
+    """run_training with scan_steps=2 and a mesh-divisible batch: stacked
+    [K, B, ...] batches shard on axis 1 and every batch still steps."""
+    from disentangled_multimodal_learning_tpu.train.trainers import run_training
+
+    cfg = Config(mode="teacher", task_type="diag2021", label_dim=4, fixdim=64,
+                 batch_size=8, epochs=1, eval_during_training=False,
+                 checkpoints="#", debug=True, scan_steps=2).validate()
+    ds = SyntheticBagDataset(size=32, fixdim=64, label_dim=4, seed=0, args=cfg)
+    loaders = (BagLoader(ds, 8, seed=0), None)
+    model = define_net(cfg)
+    state, metrics, _ = run_training(cfg, model, loaders)
+    assert int(state.step) == 4  # 32 / 8 = 4 updates, scanned in pairs

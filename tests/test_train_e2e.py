@@ -151,3 +151,14 @@ def test_train_multiscale_reports_all_scale_tags():
     for tag in ("tea10", "tea20", "stu10", "stu20", "stus"):
         assert f"auc_{tag}" in metrics["detail"]["auc"]
         assert f"acc_{tag}" in metrics["detail"]["acc"]
+
+
+def test_train_scan_steps_fuses_dispatches():
+    """scan_steps runs the same number of optimizer updates as the per-step
+    path (leftover batches run unscanned) and trains to finite metrics."""
+    # 3 batches with scan_steps=2 -> one scanned chunk + one leftover step
+    cfg = tiny_cfg("teacher", scan_steps=2)
+    model = define_net(cfg)
+    state, metrics, _ = run_training(cfg, model, tiny_loaders(cfg, n_train=6))
+    assert int(state.step) == 3  # 6 samples / batch 2 = 3 optimizer updates
+    assert np.isfinite(metrics["auc"])
