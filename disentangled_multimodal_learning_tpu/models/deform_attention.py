@@ -159,22 +159,36 @@ class CPB(nn.Module):
         # the Pallas kernel hardcodes the sign*log1p distance transform
         # (ops/pallas/deform_attn.py), so log_distance=False must take the
         # XLA path
-        use_pallas = (CPB_USE_PALLAS and P == 2 and self.depth == 2
-                      and out_per_group == 1 and self.log_distance
-                      and jax.default_backend() == "tpu")
-        if use_pallas:
+        base_ok = (CPB_USE_PALLAS and self.depth == 2 and self.log_distance
+                   and jax.default_backend() == "tpu")
+        if base_ok:
             from ..ops.pallas.deform_attn import (HID, cpb_bias_from_grids,
                                                   cpb_bias_grids_fused,
                                                   cpb_bias_transposed)
 
-            use_pallas = self.dim == HID
-        if use_pallas and transposed:
-            # transposed kernel emits [B*G, Nk, Nq] natively (no streams,
-            # no relayouts); with out_per_group == 1 the head reshape is a
-            # free leading-dim split
-            bias_t = cpb_bias_transposed(grid_q, grid_kv, w1, b1, w2, b2,
-                                         w3, b3)
-            nk, nq = bias_t.shape[1], bias_t.shape[2]
+            base_ok = self.dim == HID
+        # transposed kernel handles P in (1, 2) and any out_per_group (one
+        # call per channel); the untransposed v1 kernel is 2-coordinate,
+        # single-channel only
+        use_pallas_t = base_ok and transposed and P in (1, 2)
+        use_pallas = base_ok and not transposed and P == 2 and out_per_group == 1
+        if use_pallas_t:
+            # transposed kernel emits [B*G, (out,) Nk, Nq] natively (no
+            # streams, no relayouts).  The 1-D CPB (P=1, e.g.
+            # DeformCrossAttention1D with heads/offset_groups=2) reuses the
+            # 2-coordinate kernel by zero-padding the second coordinate
+            # (sign*log1p(0)=0 through a zero first-layer row contributes
+            # nothing); all output head-channels come from ONE shared MLP
+            # evaluation per row.
+            gq = grid_q if P == 2 else jnp.pad(grid_q, ((0, 0), (0, 1)))
+            gkv = (grid_kv if P == 2
+                   else jnp.pad(grid_kv, ((0, 0), (0, 0), (0, 1))))
+            w1p = (w1 if P == 2
+                   else jnp.concatenate([w1, jnp.zeros_like(w1)], axis=0))
+            bias_t = cpb_bias_transposed(gq, gkv, w1p, b1, w2, b2, w3, b3)
+            nk, nq = bias_t.shape[-2], bias_t.shape[-1]
+            # head index = g * out_per_group + o, matching the untransposed
+            # reshape path below
             return bias_t.reshape(b, self.heads, nk, nq)
         if use_pallas:
             kernel = (cpb_bias_grids_fused if CPB_KERNEL_VERSION == "v5"
@@ -391,6 +405,10 @@ class DeformCrossAttention1D(nn.Module):
     offset_groups: int = 4
     offset_kernel_size: int = 6
     degenerate_sampling: bool = False
+    # internal attention layout (the 1-D module never returns attention
+    # maps, so this is invisible to callers): "kn" on TPU feeds the
+    # transposed CPB kernel with zero relayouts; see resolve_attn_layout
+    attn_layout: str = "auto"
 
     @nn.compact
     def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, *, return_vgrid: bool = False,
@@ -436,18 +454,35 @@ class DeformCrossAttention1D(nn.Module):
             return t.reshape(B, -1, H, self.dim_head).transpose(0, 2, 1, 3)
 
         qh = split(q) * scale
-        sim = jnp.einsum("bhid,bhjd->bhij", qh, split(kk))
+        kh, vh = split(kk), split(vv)
+        layout = resolve_attn_layout(self.attn_layout)
+        cdt = _compute_dtype()  # bf16 operands / f32 accum on TPU
+
+        def ein(spec, a, b):
+            return jnp.einsum(spec, a.astype(cdt), b.astype(cdt),
+                              preferred_element_type=jnp.float32)
 
         seq = jnp.arange(N, dtype=x1.dtype)
         seq_scaled = (2.0 * seq / max(N - 1, 1) - 1.0)[:, None]  # [N,1]
-        bias = CPB(self.dim // 4, heads=H, offset_groups=G, depth=2,
-                   name="rel_pos_bias")(seq_scaled, vgrid_scaled[..., None])
-        sim = sim + bias
-        sim = sim - jax.lax.stop_gradient(jnp.max(sim, axis=-1, keepdims=True))
-        attn = jax.nn.softmax(sim, axis=-1)
-        attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
-
-        out = jnp.einsum("bhij,bhjd->bhid", attn, split(vv))
+        cpb = CPB(self.dim // 4, heads=H, offset_groups=G, depth=2,
+                  name="rel_pos_bias")
+        if layout == "kn":
+            sim = ein("bhjd,bhid->bhji", kh, qh)  # [B,H,K,N]
+            sim = sim + cpb(seq_scaled, vgrid_scaled[..., None],
+                            transposed=True)
+            sim = sim - jax.lax.stop_gradient(
+                jnp.max(sim, axis=-2, keepdims=True))
+            attn = jax.nn.softmax(sim, axis=-2)
+            attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
+            out = ein("bhji,bhjd->bhid", attn, vh)
+        else:
+            sim = ein("bhid,bhjd->bhij", qh, kh)
+            sim = sim + cpb(seq_scaled, vgrid_scaled[..., None])
+            sim = sim - jax.lax.stop_gradient(
+                jnp.max(sim, axis=-1, keepdims=True))
+            attn = jax.nn.softmax(sim, axis=-1)
+            attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
+            out = ein("bhij,bhjd->bhid", attn, vh)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
         out = nn.Dense(self.dim, use_bias=True, name="to_out")(out)
 

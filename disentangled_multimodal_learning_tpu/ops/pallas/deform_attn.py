@@ -1398,13 +1398,15 @@ _T_ROWS = 8  # (bh, k) rows per grid step; f32 sublane tile
 
 
 def _cpbt_mlp_row(fx, fy, w1, b1c, w2, b2c, w3, b3):
-    """Wide MLP on one [1, N] row pair -> (bias [1,N], h1 [HID,N], h2)."""
+    """Wide MLP on one [1, N] row pair -> (bias [O, N] — one row per output
+    head-channel of w3 [HID, O] — plus h1 [HID, N], h2)."""
     h1 = jnp.maximum(w1[0][:, None] * fx + w1[1][:, None] * fy + b1c, 0.0)
     h2 = jax.lax.dot_general(w2, h1, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     h2 = jnp.maximum(h2 + b2c, 0.0)
     bias = (jax.lax.dot_general(w3, h2, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32) + b3[0])
+                                preferred_element_type=jnp.float32)
+            + b3[:, None])
     return bias, h1, h2
 
 
@@ -1418,7 +1420,7 @@ def _cpbt_row_pos(qp, gkv, g):
 
 
 def _cpbt_fwd_kernel(qp_ref, gkv_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                     w3_ref, b3_ref, bias_ref):
+                     w3_ref, b3_ref, *bias_refs):
     qp = qp_ref[...]                                   # [2, N] static coords
     gkv = gkv_ref[...]                                 # [_T_ROWS, 2]
     w1 = w1_ref[...]
@@ -1427,18 +1429,23 @@ def _cpbt_fwd_kernel(qp_ref, gkv_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     w2 = w2_ref[...]
     w3 = w3_ref[...]
     b3 = b3_ref[...]
-    rows = []
+    n_out = len(bias_refs)
+    rows = [[] for _ in range(n_out)]
     for g in range(_T_ROWS):
         _, _, fx, fy = _cpbt_row_pos(qp, gkv, g)
         bias, _, _ = _cpbt_mlp_row(fx, fy, w1, b1c, w2, b2c, w3, b3)
-        rows.append(bias)
-    bias_ref[...] = jnp.concatenate(rows, axis=0)      # [_T_ROWS, N]
+        for o in range(n_out):
+            rows[o].append(bias[o:o + 1, :])
+    for o in range(n_out):
+        bias_refs[o][...] = jnp.concatenate(rows[o], axis=0)  # [_T_ROWS, N]
 
 
 def _cpbt_bwd_kernel(qp_ref, gkv_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                     w3_ref, b3_ref, dbias_ref,
-                     dgkv_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                     dw3_ref, db3_ref):
+                     w3_ref, b3_ref, *refs):
+    n_out = (len(refs) - 7)
+    dbias_refs = refs[:n_out]
+    (dgkv_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+     dw3_ref, db3_ref) = refs[n_out:]
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -1458,17 +1465,19 @@ def _cpbt_bwd_kernel(qp_ref, gkv_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     b1c = b1_ref[...][:, None]
     b2c = b2_ref[...][:, None]
     b3 = b3_ref[...]
-    db_all = dbias_ref[...]                            # [_T_ROWS, N]
+    db_alls = [r[...] for r in dbias_refs]             # n_out x [_T_ROWS, N]
     dg_rows = []
     for g in range(_T_ROWS):
         px, py, fx, fy = _cpbt_row_pos(qp, gkv, g)
         _, h1, h2 = _cpbt_mlp_row(fx, fy, w1, b1c, w2, b2c, w3, b3)
-        db = db_all[g:g + 1, :]                        # [1, N]
+        db = jnp.concatenate([d[g:g + 1, :] for d in db_alls],
+                             axis=0)                   # [O, N]
         dw3_ref[...] += jax.lax.dot_general(
             h2, db, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # [HID, 1]
-        db3_ref[...] += jnp.sum(db, axis=1, keepdims=True)
-        dh2 = w3 * db                                  # [HID, N]
+            preferred_element_type=jnp.float32)        # [HID, O]
+        db3_ref[...] += jnp.sum(db, axis=1, keepdims=True)  # [O, 1]
+        dh2 = jax.lax.dot_general(w3, db, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
         dh2 = dh2 * (h2 > 0).astype(jnp.float32)
         dw2_ref[...] += jax.lax.dot_general(
             h1, dh2, (((1,), (1,)), ((), ())),
@@ -1499,32 +1508,37 @@ def _cpbt_bwd_kernel(qp_ref, gkv_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 def _cpbt_fwd_call(grid_q, grid_kv, w1, b1, w2, b2, w3, b3, interpret):
     N = grid_q.shape[0]
     BH, K, _ = grid_kv.shape
+    O = w3.shape[1]
     R = BH * K
     R_pad = _round_up(R, _T_ROWS)
     qp = grid_q.T                                      # [2, N]
     gkv_rows = _pad_n(grid_kv.reshape(R, 2), R_pad, axis=0)
     grid = (R_pad // _T_ROWS,)
-    bias = pl.pallas_call(
+    biases = pl.pallas_call(
         _cpbt_fwd_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),              # qp [2,N]
             pl.BlockSpec((_T_ROWS, 2), lambda i: (i, 0)),       # gkv rows
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=pl.BlockSpec((_T_ROWS, N), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((R_pad, N), jnp.float32),
+        out_specs=[pl.BlockSpec((_T_ROWS, N), lambda i: (i, 0))] * O,
+        out_shape=[jax.ShapeDtypeStruct((R_pad, N), jnp.float32)] * O,
         interpret=interpret,
     )(qp, gkv_rows, w1, b1, w2, b2, w3, b3)
-    return bias[:R].reshape(BH, K, N)
+    if O == 1:
+        return biases[0][:R].reshape(BH, K, N)
+    return jnp.stack([bo[:R].reshape(BH, K, N) for bo in biases], axis=1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
 def cpb_bias_transposed(grid_q, grid_kv, w1, b1, w2, b2, w3, b3,
                         interpret=False):
     """Transposed-layout CPB: grid_q [N,2] (STATIC; zero cotangent),
-    grid_kv [BH,K,2], MLP params -> bias [BH, K, N] (kv-major).  Position
-    diffs, the log transform and the dgkv reduction all run in-kernel; no
-    [BH*N*K] position streams ever touch HBM."""
+    grid_kv [BH,K,2], MLP params -> bias [BH, K, N] (kv-major) when
+    w3 [HID, 1], or [BH, O, K, N] for O output head-channels (the 1-D CPB
+    has heads/offset_groups = 2; the shared MLP recompute is done once per
+    row for all channels).  Position diffs, the log transform and the dgkv
+    reduction all run in-kernel; no [BH*N*K] position streams touch HBM."""
     return _cpbt_fwd_call(grid_q, grid_kv, w1, b1, w2, b2, w3, b3, interpret)
 
 
@@ -1537,11 +1551,16 @@ def _cpbt_vjp_bwd(interpret, res, dbias):
     grid_q, grid_kv, w1, b1, w2, b2, w3, b3 = res
     N = grid_q.shape[0]
     BH, K, _ = grid_kv.shape
+    O = w3.shape[1]
     R = BH * K
     R_pad = _round_up(R, _T_ROWS)
     qp = grid_q.T
     gkv_rows = _pad_n(grid_kv.reshape(R, 2), R_pad, axis=0)
-    db = _pad_n(dbias.reshape(R, N), R_pad, axis=0)    # zero rows in pad
+    if O == 1:
+        dbs = [_pad_n(dbias.reshape(R, N), R_pad, axis=0)]
+    else:
+        dbs = [_pad_n(dbias[:, o].reshape(R, N), R_pad, axis=0)
+               for o in range(O)]                      # zero rows in pad
     grid = (R_pad // _T_ROWS,)
     outs = pl.pallas_call(
         _cpbt_bwd_kernel,
@@ -1549,9 +1568,8 @@ def _cpbt_vjp_bwd(interpret, res, dbias):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((_T_ROWS, 2), lambda i: (i, 0)),
-        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6 + [
-            pl.BlockSpec((_T_ROWS, N), lambda i: (i, 0)),       # dbias
-        ],
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+          + [pl.BlockSpec((_T_ROWS, N), lambda i: (i, 0))] * O,  # dbias
         out_specs=[
             pl.BlockSpec((_T_ROWS, 2), lambda i: (i, 0)),       # dgkv rows
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1567,14 +1585,14 @@ def _cpbt_vjp_bwd(interpret, res, dbias):
             jax.ShapeDtypeStruct((HID, 1), jnp.float32),
             jax.ShapeDtypeStruct((HID, HID), jnp.float32),
             jax.ShapeDtypeStruct((HID, 1), jnp.float32),
-            jax.ShapeDtypeStruct((HID, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((HID, O), jnp.float32),
+            jax.ShapeDtypeStruct((O, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(qp, gkv_rows, w1, b1, w2, b2, w3, b3, db)
+    )(qp, gkv_rows, w1, b1, w2, b2, w3, b3, *dbs)
     dgkv, dw1, db1, dw2, db2, dw3, db3 = outs
     return (jnp.zeros_like(grid_q), dgkv[:R].reshape(BH, K, 2),
-            dw1, db1[:, 0], dw2, db2[:, 0], dw3, db3[0])
+            dw1, db1[:, 0], dw2, db2[:, 0], dw3, db3[:, 0])
 
 
 cpb_bias_transposed.defvjp(_cpbt_vjp_fwd, _cpbt_vjp_bwd)

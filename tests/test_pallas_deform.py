@@ -352,3 +352,75 @@ def test_fused_kn_row_padding_na(rng):
                                atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(jnp.swapaxes(attn, 1, 2)),
                                np.asarray(ref_attn), atol=1e-5, rtol=1e-4)
+
+
+def test_cpb_bias_transposed_multichannel(rng):
+    """w3 [HID, 2] (the 1-D CPB's heads/offset_groups = 2): both output
+    head-channels from one shared MLP evaluation, forward and grads."""
+    from disentangled_multimodal_learning_tpu.ops.pallas import deform_attn as da
+
+    q, k, v, gq, gkv, w1, b1, w2, b2, _, _ = make_inputs(rng, BH=2, N=24, K=8)
+    w3 = jnp.asarray(np.random.default_rng(5).normal(size=(32, 2)).astype(np.float32) * 0.3)
+    b3 = jnp.asarray(np.random.default_rng(6).normal(size=(2,)).astype(np.float32) * 0.1)
+
+    def ref(gkv, w1, b1, w2, b2, w3, b3):
+        pos = gq[None, :, None, :] - gkv[:, None, :, :]
+        pos = jnp.sign(pos) * jnp.log1p(jnp.abs(pos))
+        h1 = jax.nn.relu(pos @ w1 + b1)
+        h2 = jax.nn.relu(h1 @ w2 + b2)
+        out = h2 @ w3 + b3                       # [BH, N, K, 2]
+        return jnp.moveaxis(out, 3, 1).swapaxes(2, 3)  # [BH, 2, K, N]
+
+    got = da.cpb_bias_transposed(gq, gkv, w1, b1, w2, b2, w3, b3,
+                                 interpret=True)
+    want = ref(gkv, w1, b1, w2, b2, w3, b3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-4)
+
+    def loss_k(gkv, w1, b1, w2, b2, w3, b3):
+        bt = da.cpb_bias_transposed(gq, gkv, w1, b1, w2, b2, w3, b3,
+                                    interpret=True)
+        return jnp.sum(jnp.sin(bt) * bt)
+
+    def loss_r(gkv, w1, b1, w2, b2, w3, b3):
+        bt = ref(gkv, w1, b1, w2, b2, w3, b3)
+        return jnp.sum(jnp.sin(bt) * bt)
+
+    args = (gkv, w1, b1, w2, b2, w3, b3)
+    gf = jax.grad(loss_k, argnums=tuple(range(7)))(*args)
+    gr = jax.grad(loss_r, argnums=tuple(range(7)))(*args)
+    for n, a, b_ in zip(["gkv", "w1", "b1", "w2", "b2", "w3", "b3"], gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=1e-3,
+                                   err_msg=f"multichannel cpb grad {n}")
+
+
+def test_attn1d_layout_kn_matches_nk(rng):
+    """The 1-D module's internal "kn" layout (never caller-visible — it
+    returns no attention maps) matches "nk" out and grads."""
+    from disentangled_multimodal_learning_tpu.models.deform_attention import (
+        DeformCrossAttention1D)
+
+    x1 = jnp.asarray(rng.normal(size=(2, 40, 128)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(2, 40, 128)).astype(np.float32))
+    m_nk = DeformCrossAttention1D(dim=128, attn_layout="nk")
+    m_kn = DeformCrossAttention1D(dim=128, attn_layout="kn")
+    v = m_nk.init({"params": jax.random.PRNGKey(0)}, x1, x2,
+                  deterministic=True)
+    o1 = m_nk.apply(v, x1, x2, deterministic=True)
+    o2 = m_kn.apply(v, x1, x2, deterministic=True)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+    def loss(mod):
+        return lambda p: jnp.sum(
+            mod.apply({"params": p}, x1, x2, deterministic=True) ** 2)
+
+    g1 = jax.grad(loss(m_nk))(v["params"])
+    g2 = jax.grad(loss(m_kn))(v["params"])
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(g1),
+                            jax.tree_util.tree_leaves(g2)):
+        if "mlp_out_bias" in jax.tree_util.keystr(path):
+            continue  # softmax-invariant: true grad is 0, both sides noise
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-3,
+                                   err_msg=jax.tree_util.keystr(path))
