@@ -235,7 +235,19 @@ class ConcatDataset:
         ds, j = self._locate(idx)
         return ds.wsi_id(j)
 
-    def batch(self, indices) -> Batch:
+    def bag_len(self, idx):
+        ds, j = self._locate(idx)
+        return ds.bag_len(j)
+
+    def batch(self, indices, pad_to: int | None = None) -> Batch:
         items = [self.__getitem__(i)[:6] for i in indices]
         cols = [np.stack([it[j] for it in items]) for j in range(6)]
+        if pad_to is not None:
+            for j in (0, 1):
+                bags = cols[j]
+                if pad_to <= bags.shape[1]:
+                    cols[j] = bags[:, :pad_to]
+                else:
+                    cols[j] = np.pad(bags, ((0, 0), (0, pad_to - bags.shape[1]),
+                                            (0, 0)))
         return Batch(*cols, wsi_id=np.array([self.wsi_id(i) for i in indices]))

@@ -38,6 +38,18 @@ DEFAULT_CONFIG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "config", "config_mine_diag2021.yaml")
 
 
+def _test_loader(cfg, test_ds):
+    """Bucketed when cfg.buckets is set (data/bucketing.py), else plain."""
+    if getattr(cfg, "buckets", ""):
+        from disentangled_multimodal_learning_tpu.data import BucketedBagLoader
+
+        return BucketedBagLoader(
+            test_ds, cfg.batch_size,
+            buckets=[int(b) for b in str(cfg.buckets).split(",")],
+            shuffle=False, drop_last=False, seed=cfg.seed)
+    return BagLoader(test_ds, cfg.batch_size, shuffle=False, drop_last=False)
+
+
 def _build_fold0_test_loader(cfg):
     """Rebuild the fold-0 split identically via the seed
     (reference inference.py:113-121)."""
@@ -46,7 +58,7 @@ def _build_fold0_test_loader(cfg):
         test_ds = SyntheticBagDataset(size=cfg.synthetic_test_size,
                                       fixdim=cfg.fixdim, label_dim=cfg.label_dim,
                                       seed=cfg.seed + 100, args=cfg)
-        return BagLoader(test_ds, cfg.batch_size, shuffle=False, drop_last=False)
+        return _test_loader(cfg, test_ds)
     import pandas as pd
 
     if cfg.external_eval:
@@ -70,7 +82,7 @@ def _build_fold0_test_loader(cfg):
             test_ds = ConcatDataset([test_ivy, test_tcga])
         else:
             test_ds = test_tcga
-    return BagLoader(test_ds, cfg.batch_size, shuffle=False, drop_last=False)
+    return _test_loader(cfg, test_ds)
 
 
 def main(gpu, args, wandb_logger=None, checkpoint: str | None = None):
