@@ -116,6 +116,12 @@ class Evaluator:
             if batch.wsi_id is not None:
                 wsi = list(batch.wsi_id)
                 ids.extend(wsi[: len(wsi) - pad] if pad else wsi)
+        # bucketed eval yields per-bucket bag lengths; NaN-pad to the widest
+        # so one [n_bags, max_N] array still round-trips (NaN = past end)
+        max_n = max(m.shape[1] for m in maps)
+        maps = [np.pad(m, ((0, 0), (0, max_n - m.shape[1])),
+                       constant_values=np.nan) if m.shape[1] < max_n else m
+                for m in maps]
         np.savez(path, attention=np.concatenate(maps), wsi_ids=np.asarray(ids))
         return path
 

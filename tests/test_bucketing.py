@@ -114,3 +114,43 @@ def test_main_make_loaders_uses_buckets():
     assert isinstance(test_loader, BucketedBagLoader)
     first = next(iter(train_loader))
     assert first.x_path10.shape[1] in (16, 64)
+
+
+def test_bucketed_eval_and_attention_export(tmp_path):
+    """Evaluator works over a bucketed test loader: metrics computed on the
+    unpadded sample set and attention-map export NaN-pads to the widest
+    bucket."""
+    import jax
+
+    from disentangled_multimodal_learning_tpu.models.factory import define_net
+    from disentangled_multimodal_learning_tpu.train.evaluation import Evaluator
+    from disentangled_multimodal_learning_tpu.train.optim import make_optimizer
+    from disentangled_multimodal_learning_tpu.train.trainers import (
+        init_model_state)
+
+    cfg = Config(mode="teacher", task_type="diag2021", label_dim=4, fixdim=64,
+                 batch_size=2, buckets="16,64", checkpoints="#",
+                 debug=True).validate()
+    ds = make_ds(size=12, fixdim=64, min_len=5)
+    cfg.input_size_omic = ds.input_size_omic
+    cfg.input_size_omic_tumor = ds.input_size_omic_tumor
+    cfg.input_size_omic_immune = ds.input_size_omic_immune
+    loader = BucketedBagLoader(ds, batch_size=2, buckets=(16, 64),
+                               shuffle=False, drop_last=False)
+    assert {b.x_path10.shape[1] for b in loader} == {16, 64}
+    model = define_net(cfg)
+    state = init_model_state(model, cfg, next(iter(loader)),
+                             make_optimizer(cfg, 1))
+    ev = Evaluator(model, cfg)
+    result = ev(state, loader, "teacher")
+    acc = result[0]
+    assert 0.0 <= acc["acc_teas"] <= 1.0
+
+    path = str(tmp_path / "att.npz")
+    ev.export_attention_maps(state, loader, path)
+    data = np.load(path)
+    assert data["attention"].shape[0] == len(ds)  # pad rows stripped
+    assert data["attention"].shape[1] == 64       # widest bucket
+    # NaN markers only past the shorter buckets' ends
+    assert np.isnan(data["attention"]).any()
+    assert not np.isnan(data["attention"][:, :16]).any()
