@@ -126,15 +126,20 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
     for epoch in range(cfg.epochs):
         train_loader.set_epoch(epoch)
         epoch_losses = []
-        buf = []  # pending (arrays) for the scanned multi-step
+        # pending arrays for the scanned multi-step, keyed by bag shape:
+        # bucketed loaders interleave batches of different bag lengths, and
+        # a scan chunk must be shape-homogeneous
+        bufs: dict = {}
         for i, batch in enumerate(train_loader):
             arrays = batch_to_arrays(batch)
             if scan_k > 1:
+                shape_key = arrays["x_path10"].shape
+                buf = bufs.setdefault(shape_key, [])
                 buf.append(arrays)
                 if len(buf) < scan_k:
                     continue
                 stacked = {k: jnp.stack([a[k] for a in buf]) for k in buf[0]}
-                buf = []
+                bufs[shape_key] = []
                 if mesh is not None:
                     stacked = shard_batch(stacked, mesh, batch_axis=1)
                 rng, sub = jax.random.split(rng)
@@ -157,14 +162,16 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
             _maybe_eval(state, metrics, epoch, i, prev_iters)
 
         # leftover batches not filling a scan chunk run as single steps
-        for arrays in buf:
-            if mesh is not None:
-                arrays = shard_batch(arrays, mesh)
-            rng, step_rng = jax.random.split(rng)
-            state, metrics = train_step(state, arrays, step_rng, teacher_vars)
-            cur_iters += 1
-            if plateau is not None:
-                epoch_losses.append(metrics["loss"])
+        for buf in bufs.values():
+            for arrays in buf:
+                if mesh is not None:
+                    arrays = shard_batch(arrays, mesh)
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = train_step(state, arrays, step_rng,
+                                            teacher_vars)
+                cur_iters += 1
+                if plateau is not None:
+                    epoch_losses.append(metrics["loss"])
 
         if plateau is not None and epoch_losses:
             mean_loss = float(np.mean(jax.device_get(epoch_losses)))

@@ -154,3 +154,26 @@ def test_bucketed_eval_and_attention_export(tmp_path):
     # NaN markers only past the shorter buckets' ends
     assert np.isnan(data["attention"]).any()
     assert not np.isnan(data["attention"][:, :16]).any()
+
+
+def test_scan_steps_with_buckets():
+    """scan_steps buffers are keyed by bag shape: a bucketed loader's
+    interleaved bucket batches scan within their own shape and every batch
+    still steps."""
+    from disentangled_multimodal_learning_tpu.models.factory import define_net
+    from disentangled_multimodal_learning_tpu.train.trainers import run_training
+
+    cfg = Config(mode="teacher", task_type="diag2021", label_dim=4, fixdim=64,
+                 batch_size=2, epochs=1, eval_during_training=False,
+                 checkpoints="#", debug=True, scan_steps=2,
+                 buckets="16,64").validate()
+    ds = make_ds(size=12, fixdim=64, min_len=5)
+    cfg.input_size_omic = ds.input_size_omic
+    cfg.input_size_omic_tumor = ds.input_size_omic_tumor
+    cfg.input_size_omic_immune = ds.input_size_omic_immune
+    loader = BucketedBagLoader(ds, batch_size=2, buckets=(16, 64),
+                               shuffle=True, drop_last=False, seed=0)
+    assert len({b.x_path10.shape[1] for b in loader}) == 2
+    model = define_net(cfg)
+    state, metrics, _ = run_training(cfg, model, (loader, None))
+    assert int(state.step) == len(loader)  # every batch became an update
