@@ -1,0 +1,125 @@
+"""Per-mode training throughput on the real chip (the PERF.md table).
+
+Usage:  python tools/bench_modes.py [mode ...]
+Modes default to every family.  Sub-millisecond models are measured with
+``lax.scan``-chained steps (one dispatch per SCAN steps) because the
+tunneled single-chip setup has a ~9 ms/call dispatch floor; the heavier
+models use the same chained-dispatch + single-readback method as bench.py.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+SCAN = 30
+HEAVY = {"teacher", "uniteacher", "student", "distillation", "multiscale",
+         "deformpathomic"}
+DEFAULT_MODES = [
+    ("teacher", "diag2021"), ("student", "diag2021"),
+    ("deformpathomic", "diag2021"), ("transmil", "diag2021"),
+    ("path", "diag2021"), ("omic", "diag2021"), ("pathomic", "diag2021"),
+    ("mcat", "survival"), ("cmta", "survival"),
+]
+
+
+def bench(mode, task, B=4, fixdim=2500):
+    import jax
+    import jax.numpy as jnp
+
+    from disentangled_multimodal_learning_tpu.config import Config
+    from disentangled_multimodal_learning_tpu.data import (BagLoader,
+                                                           SyntheticBagDataset)
+    from disentangled_multimodal_learning_tpu.models.factory import define_net
+    from disentangled_multimodal_learning_tpu.train.optim import make_optimizer
+    from disentangled_multimodal_learning_tpu.train.steps import (
+        batch_to_arrays, make_train_step)
+    from disentangled_multimodal_learning_tpu.train.trainers import (
+        init_model_state)
+
+    label_dim = {"diag2021": 4, "survival": 4, "grade": 3}[task]
+    kw = dict(mode=mode, task_type=task, label_dim=label_dim, fixdim=fixdim,
+              batch_size=B, remat=False, checkpoints="#", debug=True)
+    if mode in ("teacher", "uniteacher"):
+        kw.update(gradient_modulate=True, multiscale_attention=True)
+    if mode == "deformpathomic":
+        kw.update(return_vgrid=True, gradient_modulate=True)
+    cfg = Config(**kw).validate()
+    ds = SyntheticBagDataset(size=B, fixdim=fixdim, label_dim=label_dim,
+                             seed=0, args=cfg)
+    batch = next(iter(BagLoader(ds, B, shuffle=False)))
+    arrays = batch_to_arrays(batch)
+    model = define_net(cfg)
+    tx = make_optimizer(cfg, 100)
+    state = init_model_state(model, cfg, batch, tx)
+    step_fn = make_train_step(model, cfg, tx)
+
+    def fence(s):
+        return float(jax.tree_util.tree_leaves(s.params)[0].sum())
+
+    rng = jax.random.PRNGKey(0)
+    if mode in HEAVY:
+        step = jax.jit(step_fn, donate_argnums=(0,))
+        for _ in range(3):
+            rng, k = jax.random.split(rng)
+            state, _ = step(state, arrays, k, None)
+        fence(state)
+        t0 = time.perf_counter()
+        fence(state)
+        rt = time.perf_counter() - t0
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(SCAN):
+                rng, k = jax.random.split(rng)
+                state, _ = step(state, arrays, k, None)
+            fence(state)
+            dt = max(time.perf_counter() - t0 - rt, 1e-9)
+            best = dt if best is None else min(best, dt)
+    else:
+        @jax.jit
+        def multi(state, rng):
+            def body(carry, _):
+                st, key = carry
+                key, k2 = jax.random.split(key)
+                st, m = step_fn(st, arrays, k2, None)
+                return (st, key), m["loss"]
+            (state, _), losses = jax.lax.scan(body, (state, rng), None,
+                                              length=SCAN)
+            return state, losses
+
+        state, _ = multi(state, rng)
+        fence(state)
+        t0 = time.perf_counter()
+        fence(state)
+        rt = time.perf_counter() - t0
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state, _ = multi(state, rng)
+            fence(state)
+            dt = max(time.perf_counter() - t0 - rt, 1e-9)
+            best = dt if best is None else min(best, dt)
+    print(f"{mode:16s} {task:9s} B={B}  {B * SCAN / best:9.1f} bags/s/chip "
+          f"({best / SCAN * 1e3:7.2f} ms/step)", flush=True)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+    picks = sys.argv[1:]
+    for mode, task in DEFAULT_MODES:
+        if picks and mode not in picks:
+            continue
+        try:
+            bench(mode, task)
+        except Exception as e:  # keep the sweep alive
+            print(f"{mode:16s} FAILED: {type(e).__name__}: {str(e)[:120]}")
+
+
+if __name__ == "__main__":
+    main()
