@@ -19,7 +19,8 @@ SCAN = 30
 HEAVY = {"teacher", "uniteacher", "student", "distillation", "multiscale",
          "deformpathomic"}
 DEFAULT_MODES = [
-    ("teacher", "diag2021"), ("student", "diag2021"),
+    ("teacher", "diag2021"), ("uniteacher", "diag2021"),
+    ("multiscale", "diag2021"), ("student", "diag2021"),
     ("deformpathomic", "diag2021"), ("transmil", "diag2021"),
     ("path", "diag2021"), ("omic", "diag2021"), ("pathomic", "diag2021"),
     ("mcat", "survival"), ("cmta", "survival"),
