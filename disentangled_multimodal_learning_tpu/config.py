@@ -171,6 +171,9 @@ class Config:
     # model
     mode: str = "teacher"
     attn_dim: int = 2
+    # attn_dim=1 only: bit-exact emulation of the reference's degenerate
+    # pad-to-2D grid_sample (reference models/DeformableAttention1D.py:36-43)
+    degenerate_1d_sampling: bool = False
 
     # task
     task_type: str = "diag2021"

@@ -74,22 +74,48 @@ class BucketedBagLoader:
         return {b: np.nonzero(self._assign == b)[0] for b in self.buckets}
 
     def __len__(self):
-        total = 0
-        for idx in self._bucket_indices().values():
-            if self.drop_last:
-                total += len(idx) // self.batch_size
+        bs = self.batch_size
+        total, carry = 0, 0
+        for bi, b in enumerate(self.buckets):
+            n = int((self._assign == b).sum()) + carry
+            carry = 0
+            if not self.drop_last:
+                total += (n + bs - 1) // bs
+            elif 0 < n < bs and bi + 1 < len(self.buckets):
+                carry = n  # promoted to the next-larger bucket
+            elif 0 < n < bs:
+                total += 1  # largest bucket: pad the short batch
             else:
-                total += (len(idx) + self.batch_size - 1) // self.batch_size
+                total += n // bs
         return total
 
     def __iter__(self):
         rng = np.random.default_rng(self.seed * 100_003 + self._epoch)
         bs = self.batch_size
         plan = []  # (bucket, indices, pad)
-        for b, idx in self._bucket_indices().items():
-            idx = idx.copy()
+        buckets_idx = self._bucket_indices()
+        carry = np.zeros(0, dtype=np.int64)
+        for bi, b in enumerate(self.buckets):
+            idx = np.concatenate([carry, buckets_idx[b]])
+            carry = np.zeros(0, dtype=np.int64)
+            if len(idx) == 0:
+                continue
             if self.shuffle:
                 rng.shuffle(idx)
+            if self.drop_last and len(idx) < bs:
+                # a bucket whose population can never fill a batch would be
+                # PERMANENTLY excluded (assignment is static, unlike the
+                # unbucketed loader's per-epoch random tail): promote its
+                # samples to the next-larger bucket (padding further is
+                # always valid) or, at the largest bucket, pad the short
+                # batch like drop_last=False does
+                if bi + 1 < len(self.buckets):
+                    carry = idx
+                    continue
+                pad = bs - len(idx)
+                sel = np.concatenate([idx, np.repeat(idx[-1], pad)])
+                plan.append((b, sel, pad))
+                continue
             stop = (len(idx) // bs) * bs if self.drop_last else len(idx)
             for start in range(0, stop, bs):
                 sel = idx[start: start + bs]

@@ -29,6 +29,26 @@ def _kfold_indices(n: int, k: int, seed: int):
         yield np.sort(train), np.sort(test)
 
 
+def dump_split_csvs(out_dir: str, cohort: str, fold: int, df,
+                    train_mask, test_mask) -> dict:
+    """Write the per-fold train/test split manifests to disk for
+    reproducibility/audit (reference ``printDataSplit`` dumps,
+    main.py:70-99 and :282-299).  Unlike the reference — which writes a
+    single ``output_<cohort>_{train,test}.csv`` only if absent, so only the
+    first fold ever lands — every fold gets its own file.  Returns
+    ``{"train": path, "test": path}``."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {}
+    for tag, mask in (("train", train_mask), ("test", test_mask)):
+        path = os.path.join(
+            out_dir, f"split_{cohort.lower()}_fold{fold}_{tag}.csv")
+        df[np.asarray(mask)].to_csv(path, index=False)
+        paths[tag] = path
+    return paths
+
+
 def kfold_patient_split(patient_col: np.ndarray, k: int, seed: int):
     """Yield (fold, train_mask, test_mask) over manifest rows.
 

@@ -107,6 +107,10 @@ class DeformPathomicNet(nn.Module):
     return_vgrid: bool = False
     fusion_type: str = "concat"
     task_type: str = "diag2021"
+    # bit-exact emulation of the reference's degenerate pad-to-2D 1-D
+    # grid_sample trick (reference models/DeformableAttention1D.py:36-43);
+    # only meaningful with attn_dim=1
+    degenerate_1d_sampling: bool = False
 
     @nn.compact
     def __call__(self, x_path, x_omic, x_omic_tumor, x_omic_immune,
@@ -120,7 +124,7 @@ class DeformPathomicNet(nn.Module):
 
         mil = lambda name: DeformCrossTransMIL(
             self.label_dim, self.path_dim, self.attn_dim, self.return_vgrid,
-            name=name)
+            degenerate_1d_sampling=self.degenerate_1d_sampling, name=name)
         out_t = mil("pathomic_net_tumor")(x_path, omic_t, deterministic)
         out_i = mil("pathomic_net_immune")(x_path, omic_i, deterministic)
         vec_t, vec_i = out_t[0], out_i[0]

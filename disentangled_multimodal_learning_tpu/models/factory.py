@@ -67,7 +67,9 @@ def define_net(args):
             path_dim=args.path_dim, omic_dim=args.omic_dim, mmhid=args.mmhid,
             dropout_rate=args.dropout_rate, attn_dim=args.attn_dim,
             return_vgrid=args.return_vgrid, fusion_type=args.fusion_type,
-            task_type=args.task_type, **common)
+            task_type=args.task_type,
+            degenerate_1d_sampling=getattr(args, "degenerate_1d_sampling",
+                                           False), **common)
     if mode == "multiscale":
         return MultiScaleNet(
             input_size_omic_tumor=args.input_size_omic_tumor,

@@ -1811,7 +1811,11 @@ def _kn_kb(K: int):
     """CPB chunk rows: 8 when it divides K, else K itself for small K."""
     if K % _KN_KB == 0:
         return _KN_KB
-    return K if K <= _KN_KB else None
+    if K <= _KN_KB:
+        return K
+    raise ValueError(
+        f"fused kn kernel requires K <= {_KN_KB} or K % {_KN_KB} == 0, "
+        f"got K={K}")
 
 
 _KN_VMEM_LIMIT = 100 * 1024 * 1024

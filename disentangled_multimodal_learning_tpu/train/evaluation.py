@@ -95,35 +95,67 @@ class Evaluator:
         return tuple(dicts[n] for n in names)
 
     def export_attention_maps(self, state, loader, path: str):
-        """Attention-heatmap export (reference train_test.py:1121-1177):
-        per-head max then mean over kv positions, saved with wsi ids.
+        """Visualization export (reference train_test.py:1121-1177): for EVERY
+        attention map the model emits (both compartments x both scales, e.g.
+        att1_tea10 AND att2_tea10) dump the per-head max then mean over kv
+        positions, alongside the combined prediction scores, the task labels
+        and the wsi ids — everything the reference's heatmap analyses consume.
         Layout-aware: on TPU the 2-D deform attention emits kv-major "kn"
         maps (models/deform_attention.py attn_kv_axis)."""
         from ..models.deform_attention import attn_kv_axis
 
         kv_ax = attn_kv_axis()  # -1 ("nk") or -2 ("kn") for the 4-D map
-        maps, ids = [], []
+        maps: dict[str, list] = {}
+        scores, labels, ids = [], [], []
+        score_key = None
         for batch in loader:
             arrays = batch_to_arrays(batch)
             out = self.step(state.params, state.batch_stats, arrays)
-            att_dict = out[1]
-            key = sorted(att_dict.keys())[0]
-            att = np.asarray(att_dict[key])  # [B,H,N,K] or [B,H,K,N]
+            att_dict, logits_dict = out[1], out[2]
             pad = getattr(batch, "pad", 0)
-            if pad:
-                att = att[: att.shape[0] - pad]
-            maps.append(att.max(axis=1).mean(axis=kv_ax))  # [B, N]
+            keep = np.asarray(batch.label).shape[0] - pad
+            for key in sorted(att_dict):
+                att = np.asarray(att_dict[key])[:keep]  # [B,H,N,K] / [B,H,K,N]
+                maps.setdefault(key, []).append(
+                    att.max(axis=1).mean(axis=kv_ax))  # [B, N]
+            if score_key is None:
+                # combined logits: student over teacher when both exist
+                # (reference dumps logits_teas, train_test.py:1156)
+                combined = [k for k in logits_dict
+                            if k.endswith(("stus", "teas"))]
+                score_key = (sorted(combined)[-1] if combined
+                             else sorted(logits_dict)[0])
+            scores.append(np.asarray(logits_dict[score_key])[:keep])
+            labels.append(np.asarray(batch.label)[:keep, self._task_col()])
             if batch.wsi_id is not None:
-                wsi = list(batch.wsi_id)
-                ids.extend(wsi[: len(wsi) - pad] if pad else wsi)
+                ids.extend(list(batch.wsi_id)[:keep])
+        arrays_out = {
+            "scores": (np.concatenate(scores) if scores
+                       else np.zeros((0, self.cfg.label_dim))),
+            "labels": np.concatenate(labels) if labels else np.zeros((0,)),
+            "wsi_ids": np.asarray(ids),
+        }
         # bucketed eval yields per-bucket bag lengths; NaN-pad to the widest
         # so one [n_bags, max_N] array still round-trips (NaN = past end)
-        max_n = max(m.shape[1] for m in maps)
-        maps = [np.pad(m, ((0, 0), (0, max_n - m.shape[1])),
-                       constant_values=np.nan) if m.shape[1] < max_n else m
-                for m in maps]
-        np.savez(path, attention=np.concatenate(maps), wsi_ids=np.asarray(ids))
+        for key, chunks in maps.items():
+            max_n = max(m.shape[1] for m in chunks)
+            chunks = [np.pad(m, ((0, 0), (0, max_n - m.shape[1])),
+                             constant_values=np.nan)
+                      if m.shape[1] < max_n else m for m in chunks]
+            arrays_out[f"att_{key}"] = np.concatenate(chunks)
+        if maps:  # legacy alias: the first key's map (pre-r3 schema)
+            arrays_out["attention"] = arrays_out[f"att_{sorted(maps)[0]}"]
+        else:  # empty loader (tiny external-eval split): write empty arrays
+            arrays_out["attention"] = np.zeros((0, 0))
+        np.savez(path, **arrays_out)
         return path
+
+    def _task_col(self) -> int:
+        """Label column exported next to the attention maps (the reference
+        dumps label[:,5] for diag2021, train_test.py:1157)."""
+        if self.cfg.task_type == "survival":
+            return LabelCol.SURVIVAL_BIN
+        return _label_col(self.cfg.task_type)
 
     # -- deformpathomic / pathomic family: metrics on fused logits[2]
     # (epochVal / epochBaselineModelVal, utils/metrics.py:496-661)

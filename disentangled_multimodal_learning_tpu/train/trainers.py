@@ -84,9 +84,9 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
             def body(st, xs):
                 arrs, key = xs
                 st, m = step_fn(st, arrs, key, tvars)
-                return st, m["loss"]
-            state, losses = jax.lax.scan(body, state, (stacked, rngs))
-            return state, losses
+                return st, m  # full metrics dict (stacked over the scan)
+            state, ms = jax.lax.scan(body, state, (stacked, rngs))
+            return state, ms
 
         multi_step = jax.jit(_multi, donate_argnums=(0,))
 
@@ -144,12 +144,12 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
                     stacked = shard_batch(stacked, mesh, batch_axis=1)
                 rng, sub = jax.random.split(rng)
                 step_rngs = jax.random.split(sub, scan_k)
-                state, losses = multi_step(state, stacked, step_rngs,
-                                           teacher_vars)
-                metrics = {"loss": losses[-1]}
+                state, ms = multi_step(state, stacked, step_rngs,
+                                       teacher_vars)
+                metrics = {k: v[-1] for k, v in ms.items()}  # last step's
                 prev_iters, cur_iters = cur_iters, cur_iters + scan_k
                 if plateau is not None:
-                    epoch_losses.extend(list(losses))
+                    epoch_losses.extend(list(ms["loss"]))
                 _maybe_eval(state, metrics, epoch, i, prev_iters)
                 continue
             if mesh is not None:
@@ -169,9 +169,11 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = train_step(state, arrays, step_rng,
                                             teacher_vars)
-                cur_iters += 1
+                prev_iters, cur_iters = cur_iters, cur_iters + 1
                 if plateau is not None:
                     epoch_losses.append(metrics["loss"])
+                _maybe_eval(state, metrics, epoch, len(train_loader) - 1,
+                            prev_iters)
 
         if plateau is not None and epoch_losses:
             mean_loss = float(np.mean(jax.device_get(epoch_losses)))
@@ -221,21 +223,29 @@ def _log_eval(cfg, logger, evaluator, state, test_loader, train_metrics, mt):
         return
     m = {k: float(v) for k, v in jax.device_get(train_metrics).items()}
     flat = _final_eval(cfg, evaluator, state, test_loader, mt)
-    flat.pop("detail", None)
-    logger.log({"training": m, "test": {k: v for k, v in flat.items()
-                                        if isinstance(v, float)}})
+    detail = flat.pop("detail", None)
+    payload = {"training": m, "test": {k: v for k, v in flat.items()
+                                       if isinstance(v, float)}}
+    if detail:  # nested per-tag metric dicts, like the reference's logger.log
+        # of the full epoch*Val outputs (train_test.py:240-308)
+        payload["test"].update({k: dict(v) for k, v in detail.items()})
+    logger.log(payload)
 
 
 # ---------------------------------------------------------------------------
 # Reference-named trainer entry points (train_test.py:17,342,548,784)
 # ---------------------------------------------------------------------------
 
-def trainTeachersModel(model, dataloader, optimizer, scheduler, logger, args):
-    return run_training(args, model, dataloader, logger, model_type="teacher")
+def trainTeachersModel(model, dataloader, optimizer, scheduler, logger, args,
+                       state=None):
+    return run_training(args, model, dataloader, logger, model_type="teacher",
+                        state=state)
 
 
-def trainStudentsModel(model, dataloader, optimizer, scheduler, logger, args):
-    return run_training(args, model, dataloader, logger, model_type="student")
+def trainStudentsModel(model, dataloader, optimizer, scheduler, logger, args,
+                       state=None):
+    return run_training(args, model, dataloader, logger, model_type="student",
+                        state=state)
 
 
 def trainDistillation(student_model, teacher_model, dataloader, optimizer,
@@ -247,8 +257,9 @@ def trainDistillation(student_model, teacher_model, dataloader, optimizer,
 
 
 def trainDeformPathomicModel(model, dataloader, optimizer, scheduler, logger,
-                             args):
-    return run_training(args, model, dataloader, logger, model_type="fused")
+                             args, state=None):
+    return run_training(args, model, dataloader, logger, model_type="fused",
+                        state=state)
 
 
 # ---------------------------------------------------------------------------

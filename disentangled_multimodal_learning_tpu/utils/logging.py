@@ -19,16 +19,25 @@ class Logger:
             try:
                 import wandb
 
+                # vars() works on dataclass instances too — always forward the
+                # run config (the reference records it, main.py:466-471)
                 self._wandb = wandb.init(project=project, notes=project,
                                          tags=["TMI25", "MultiScale"],
-                                         config=vars(cfg) if not hasattr(cfg, "__dataclass_fields__")
-                                         else None)
+                                         config=self.run_config())
                 return
             except Exception:
                 self._wandb = None
         log_dir = getattr(cfg, "log_dir", "./logs")
         os.makedirs(log_dir, exist_ok=True)
         self._fh = open(os.path.join(log_dir, f"run_{int(time.time())}.jsonl"), "a")
+
+    def run_config(self) -> dict:
+        """The experiment parameters recorded with the run; never None."""
+        import dataclasses
+
+        if dataclasses.is_dataclass(self.cfg):
+            return dataclasses.asdict(self.cfg)
+        return dict(vars(self.cfg))
 
     def log(self, payload: dict):
         def to_py(x):

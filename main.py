@@ -127,12 +127,18 @@ def _dispatch_training(cfg, logger, loaders):
             tx = make_optimizer(cfg, max(1, len(loaders[0])))
             state = restore_state(init_model_state(model, cfg, sample, tx), ckpt)
 
+    # ``state`` (the --reload restored TrainState, reference main.py:153-174)
+    # must reach run_training for EVERY mode — dropping it here would train
+    # from scratch while claiming to resume
     if cfg.mode == "deformpathomic":
-        return trainDeformPathomicModel(model, loaders, None, None, logger, cfg)
+        return trainDeformPathomicModel(model, loaders, None, None, logger,
+                                        cfg, state=state)
     if cfg.mode in ("teacher", "uniteacher"):
-        return trainTeachersModel(model, loaders, None, None, logger, cfg)
+        return trainTeachersModel(model, loaders, None, None, logger, cfg,
+                                  state=state)
     if cfg.mode == "student":
-        return trainStudentsModel(model, loaders, None, None, logger, cfg)
+        return trainStudentsModel(model, loaders, None, None, logger, cfg,
+                                  state=state)
     # baselines / multiscale: generic driver
     return run_training(cfg, model, loaders, logger, state=state)
 
@@ -142,11 +148,24 @@ def _maybe_init_distributed(cfg):
     dist.init_process_group("nccl") + MASTER_ADDR/PORT env rendezvous,
     reference main.py:27-29,451-452).  On TPU pods each host runs this same
     script; jax.distributed discovers peers from the TPU environment, and the
-    'data' mesh then spans all hosts' devices (collectives ride ICI/DCN)."""
+    'data' mesh then spans all hosts' devices (collectives ride ICI/DCN).
+
+    An explicit rendezvous — the analogue of the reference's
+    MASTER_ADDR/PORT — is supported via env vars for non-TPU clusters (and
+    the simulated 2-process CPU cluster in tests/test_parallel.py):
+    DMLT_COORDINATOR=<host:port>, DMLT_NUM_PROCESSES, DMLT_PROCESS_ID."""
     if int(getattr(cfg, "nodes", 1)) > 1:
         import jax
 
-        jax.distributed.initialize()
+        kw = {}
+        coordinator = os.environ.get("DMLT_COORDINATOR", "")
+        if coordinator:
+            kw = dict(
+                coordinator_address=coordinator,
+                num_processes=int(os.environ.get("DMLT_NUM_PROCESSES",
+                                                 cfg.nodes)),
+                process_id=int(os.environ.get("DMLT_PROCESS_ID", "0")))
+        jax.distributed.initialize(**kw)
         print(f"[main] multi-host: process {jax.process_index()} / "
               f"{jax.process_count()}, {jax.device_count()} global devices")
 
@@ -183,6 +202,7 @@ def main(gpu, args, wandb_logger=None):
         for fold, train_mask, test_mask in kfold_patient_split(
                 df.iloc[:, 0].to_numpy(), cfg.kfold, cfg.seed):
             cfg.cur_fold = fold
+            _maybe_dump_split(cfg, "CPTAC", fold, df, train_mask, test_mask)
             train_ds = CPTAC_Dataset(excel_wsi=df[train_mask], args=cfg)
             test_ds = CPTAC_Dataset(excel_wsi=df[test_mask], args=cfg)
             loaders = _make_loaders(cfg, train_ds, test_ds)
@@ -205,6 +225,9 @@ def main(gpu, args, wandb_logger=None):
                                          cfg.kfold, cfg.seed))
     for (fold, tr_t, te_t), (_, tr_i, te_i) in zip(tcga_folds, ivy_folds):
         cfg.cur_fold = fold
+        _maybe_dump_split(cfg, "TCGA", fold, df_tcga, tr_t, te_t)
+        if cfg.coTraining:
+            _maybe_dump_split(cfg, "IvYGAP", fold, df_ivy, tr_i, te_i)
         train_tcga = TCGA_Dataset(excel_wsi=df_tcga[tr_t], args=cfg)
         test_tcga = TCGA_Dataset(excel_wsi=df_tcga[te_t], args=cfg)
         if cfg.coTraining:
@@ -219,6 +242,18 @@ def main(gpu, args, wandb_logger=None):
         results[fold] = metrics
         print(f"\n[fold {fold}] {_fmt(metrics)}  ckpt={ckpt}")
     return results
+
+
+def _maybe_dump_split(cfg, cohort, fold, df, train_mask, test_mask):
+    """Per-fold split manifests next to checkpoints (reference
+    printDataSplit, main.py:70-99,282-299)."""
+    if not getattr(cfg, "printDataSplit", False):
+        return
+    from disentangled_multimodal_learning_tpu.data.splits import dump_split_csvs
+
+    out_dir = cfg.checkpoints if cfg.checkpoints not in ("#", "") else "."
+    paths = dump_split_csvs(out_dir, cohort, fold, df, train_mask, test_mask)
+    print(f"[main] split manifests: {paths['train']}, {paths['test']}")
 
 
 def _fmt(metrics: dict) -> str:

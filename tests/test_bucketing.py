@@ -57,6 +57,45 @@ def test_long_bags_truncate_to_largest_bucket():
         assert batch.x_path10.shape[1] == 64
 
 
+def test_small_bucket_promoted_not_dropped_with_drop_last():
+    """ADVICE r2 (medium): a bucket holding fewer than batch_size samples
+    must not be permanently excluded under drop_last=True — its samples are
+    promoted to the next-larger bucket (padding further is always valid)."""
+    ds = make_ds(size=9, fixdim=64, min_len=5, seed=3)
+    bs = 4
+    loader = BucketedBagLoader(ds, batch_size=bs, buckets=(16, 36, 64),
+                               shuffle=True, drop_last=True, seed=1)
+    # engineer a sparse bucket: find a bucket with 0 < population < bs
+    pops = {b: int((loader._assign == b).sum()) for b in loader.buckets}
+    if not any(0 < p < bs for p in pops.values()):
+        pytest.skip("seed produced no sparse bucket")
+    # over many epochs, every sample in a sparse (non-largest) bucket must
+    # appear at least once
+    seen = set()
+    for epoch in range(6):
+        loader.set_epoch(epoch)
+        for batch in loader:
+            keep = batch.x_path10.shape[0] - batch.pad
+            for wsi in batch.wsi_id[:keep]:
+                seen.add(int(str(wsi).split("-")[1]))
+    sparse = [b for b, p in pops.items() if 0 < p < bs]
+    for b in sparse:
+        for i in np.nonzero(loader._assign == b)[0]:
+            assert int(i) in seen, f"sample {i} of sparse bucket {b} dropped"
+    assert len(loader) == sum(1 for _ in loader)
+
+
+def test_all_samples_below_batch_size_pad_at_largest_bucket():
+    """Fewer total samples than batch_size: one padded batch, nothing lost."""
+    ds = make_ds(size=3, fixdim=64, min_len=5, seed=0)
+    loader = BucketedBagLoader(ds, batch_size=4, buckets=(16, 64),
+                               shuffle=False, drop_last=True)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 1
+    assert batches[0].pad == 1
+    assert batches[0].x_path10.shape == (4, 64, 1024)
+
+
 def test_epoch_reshuffle_changes_batch_order():
     ds = make_ds(size=24)
     loader = BucketedBagLoader(ds, batch_size=4, buckets=(16, 36, 64),

@@ -78,10 +78,15 @@ def test_uniteacher_forward():
     assert out[2]["logits_teas"].shape == (BATCH, 4)
 
 
-@pytest.mark.parametrize("attn_dim", [1, 2])
-def test_deformpathomic_forward(attn_dim):
-    cfg = make_cfg("deformpathomic", attn_dim=attn_dim)
+@pytest.mark.parametrize("attn_dim,degenerate", [(1, False), (2, False),
+                                                 (1, True)])
+def test_deformpathomic_forward(attn_dim, degenerate):
+    # degenerate_1d_sampling must be reachable from config through the
+    # factory (VERDICT r2 weak #5)
+    cfg = make_cfg("deformpathomic", attn_dim=attn_dim,
+                   degenerate_1d_sampling=degenerate)
     model = define_net(cfg)
+    assert model.degenerate_1d_sampling == degenerate
     batch = make_batch(cfg)
     _, out = init_and_apply(model, model_inputs("deformpathomic", batch))
     features, vec_t, vec_i, logits, *_ = out

@@ -106,20 +106,32 @@ def bench(mode, task, B=4, fixdim=2500):
             best = dt if best is None else min(best, dt)
     print(f"{mode:16s} {task:9s} B={B}  {B * SCAN / best:9.1f} bags/s/chip "
           f"({best / SCAN * 1e3:7.2f} ms/step)", flush=True)
+    return {"metric": f"{mode}_train_bags_per_sec_fixdim{fixdim}_b{B}",
+            "value": round(B * SCAN / best, 3), "unit": "bags/sec/chip",
+            "step_ms": round(best / SCAN * 1e3, 3), "task": task}
 
 
 def main():
+    import json
+
     import jax
 
     jax.config.update("jax_default_prng_impl", "rbg")
     picks = sys.argv[1:]
+    records = []
     for mode, task in DEFAULT_MODES:
         if picks and mode not in picks:
             continue
         try:
-            bench(mode, task)
+            records.append(bench(mode, task))
         except Exception as e:  # keep the sweep alive
             print(f"{mode:16s} FAILED: {type(e).__name__}: {str(e)[:120]}")
+    if not picks:  # full sweep: check the BENCH-style lines into the repo
+        out = os.path.join(os.path.dirname(__file__), "..", "BENCH_MODES.json")
+        with open(out, "w") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+        print(f"wrote {os.path.abspath(out)}")
 
 
 if __name__ == "__main__":
