@@ -50,10 +50,14 @@ BATCH = 4  # the reference teacher's batch size (config_mine_diag2021.yaml:51)
 FIXDIM = 2500
 WARMUP = 3
 ITERS = 50  # chained asynchronously; one host readback at the end
-# Throughput is HBM-bound and scales INVERSELY with batch on one chip
-# (B=1: 66, B=2: 54, B=4: 54-57, B=8: 50 bags/s) — B=4 is the
-# apples-to-apples reference operating point.  remat=False fits at B<=4 and
-# skips the CPB backward recompute.
+# Measured batch sweep on the v7-kernel + kn-layout production path
+# (tools/exp_bsweep.py, interleaved min-of-4, 2026-08): B=1: 81, B=2: 141,
+# B=4: 145, B=8: 134 (remat on OR off — it fits without remat and times
+# identically, so the B>=8 falloff is working-set pressure, not recompute),
+# B=16: 136 bags/s.  B=4 is both the throughput optimum AND the
+# apples-to-apples reference operating point.  The pre-kernel-era claim that
+# throughput scaled inversely with batch no longer holds.  remat=False fits
+# at B<=8 and skips the CPB backward recompute.
 
 
 def main():

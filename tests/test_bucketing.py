@@ -193,6 +193,14 @@ def test_bucketed_eval_and_attention_export(tmp_path):
     # NaN markers only past the shorter buckets' ends
     assert np.isnan(data["attention"]).any()
     assert not np.isnan(data["attention"][:, :16]).any()
+    # r3 parity schema holds under bucketed loaders too: both compartment
+    # maps + scores + labels with consistent row counts
+    att_keys = [k for k in data.files if k.startswith("att_")]
+    assert {"att_att1_tea10", "att_att2_tea10"} <= set(att_keys)
+    for k in att_keys:
+        assert data[k].shape == (len(ds), 64)
+    assert data["scores"].shape == (len(ds), cfg.label_dim)
+    assert data["labels"].shape == (len(ds),)
 
 
 def test_scan_steps_with_buckets():

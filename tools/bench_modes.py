@@ -97,13 +97,28 @@ def bench(mode, task, B=4, fixdim=2500):
         t0 = time.perf_counter()
         fence(state)
         rt = time.perf_counter() - t0
-        best = None
-        for _ in range(3):
+        # chain enough multi() calls that the measured window dwarfs the
+        # roundtrip noise — a single 30-step scan of a sub-0.1 ms model
+        # finishes INSIDE the ~28 ms readback jitter and divides to garbage
+        chain = 1
+        while True:
             t0 = time.perf_counter()
-            state, _ = multi(state, rng)
+            for _ in range(chain):
+                state, _ = multi(state, rng)
+            fence(state)
+            dt = time.perf_counter() - t0 - rt
+            if dt > 10 * max(rt, 1e-3) or chain >= 512:
+                break
+            chain *= 4
+        best = max(dt, 1e-9)
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(chain):
+                state, _ = multi(state, rng)
             fence(state)
             dt = max(time.perf_counter() - t0 - rt, 1e-9)
-            best = dt if best is None else min(best, dt)
+            best = min(best, dt)
+        best /= chain
     print(f"{mode:16s} {task:9s} B={B}  {B * SCAN / best:9.1f} bags/s/chip "
           f"({best / SCAN * 1e3:7.2f} ms/step)", flush=True)
     return {"metric": f"{mode}_train_bags_per_sec_fixdim{fixdim}_b{B}",
