@@ -121,7 +121,11 @@ def regularize_MM_omic(params):
 
 def shap_feature_importance(*args, **kwargs):
     """The reference binds shap.DeepExplainer (unavailable here and in any
-    torch-free environment); the JAX-native substitute is integrated
-    gradients over the omic input — the same gene-attribution vector shape.
-    See utils/importance.py:59-134."""
-    return integrated_gradients_importance(*args, **kwargs)
+    torch-free environment); the JAX-native equivalent is expected-gradients
+    SHAP (the GradientExplainer estimator of the same SHAP values), using
+    the evaluation set as the background distribution exactly like the
+    reference does (utils/feature_importance.py:37-72).  See
+    utils/importance.py deep_shap_importance."""
+    from .utils.importance import deep_shap_importance
+
+    return deep_shap_importance(*args, **kwargs)

@@ -100,6 +100,9 @@ class Config:
     pyramid: int = 2
     dataset: str = "TCGA"
     checkpoints: str = "./checkpoints"
+    # "pickle" (single portable file) or "orbax" (async-capable TPU-idiomatic
+    # directory checkpoints); restore_state reads either transparently
+    checkpoint_backend: str = "pickle"
     checkpoints_student: str = "#"
     checkpoints_teacher: str = "#"
 

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..parallel.mesh import get_mesh, shard_batch
-from ..utils.checkpoint import metric_stamped_name, save_checkpoint
+from ..utils.checkpoint import (metric_stamped_name, save_checkpoint,
+                                save_checkpoint_orbax)
 from .evaluation import Evaluator
 from .optim import ReduceLROnPlateau, make_optimizer, set_learning_rate
 from .state import TrainState
@@ -184,9 +185,12 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
     if cfg.checkpoints and cfg.checkpoints != "#":
         name = metric_stamped_name(cfg.cur_fold, cfg.epochs - 1, final_metrics,
                                    cfg.task_type, mode=mode)
-        ckpt_path = save_checkpoint(cfg.checkpoints, name, state,
-                                    extra={"mode": mode, "task": cfg.task_type,
-                                           "fold": cfg.cur_fold})
+        saver = (save_checkpoint_orbax
+                 if getattr(cfg, "checkpoint_backend", "pickle") == "orbax"
+                 else save_checkpoint)
+        ckpt_path = saver(cfg.checkpoints, name, state,
+                          extra={"mode": mode, "task": cfg.task_type,
+                                 "fold": cfg.cur_fold})
     return state, final_metrics, ckpt_path
 
 

@@ -84,6 +84,8 @@ def save_checkpoint_orbax(directory: str, name: str, state,
                           extra: dict | None = None) -> str:
     """Orbax backend (async-capable, TPU-idiomatic); same payload layout as
     the pickle backend.  Returns the checkpoint directory path."""
+    import json
+
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(directory, name + ".orbax"))
@@ -93,18 +95,30 @@ def save_checkpoint_orbax(directory: str, name: str, state,
         "batch_stats": _to_host(state.batch_stats)
         if state.batch_stats is not None else None,
         "step": int(state.step),
-        "extra": extra or {},
     }
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, payload, force=True)
+    # orbax's StandardCheckpointer only takes array leaves; the string-typed
+    # metadata goes in a JSON sidecar next to the checkpoint directory
+    with open(path + ".extra.json", "w") as f:
+        json.dump(extra or {}, f)
     return path
 
 
 def load_checkpoint_any(path: str) -> dict:
     """Load either backend: .orbax directories or pickle files."""
     if path.endswith(".orbax") or os.path.isdir(path):
+        import json
+
         import orbax.checkpoint as ocp
 
+        extra_path = path.rstrip("/") + ".extra.json"
+        extra = {}
+        if os.path.exists(extra_path):
+            with open(extra_path) as f:
+                extra = json.load(f)
         with ocp.StandardCheckpointer() as ckptr:
-            return ckptr.restore(os.path.abspath(path))
+            payload = ckptr.restore(os.path.abspath(path))
+        payload["extra"] = payload.get("extra") or extra
+        return payload
     return load_checkpoint(path)

@@ -28,6 +28,7 @@ from disentangled_multimodal_learning_tpu.train.trainers import (
     testBaselineModel,
     testDeformPathomicModel,
     testDistillation,
+    testMultiScaleModel,
     testStudentsModel,
     testTeachersModel,
 )
@@ -112,12 +113,14 @@ def main(gpu, args, wandb_logger=None, checkpoint: str | None = None):
         "student": testStudentsModel,
         "distillation": testDistillation,
         "deformpathomic": testDeformPathomicModel,
+        "multiscale": testMultiScaleModel,
     }
     fn = dispatch.get(cfg.mode, testBaselineModel)
     metrics = fn(model, loader, logger, cfg, state=state)
 
     if cfg.save4visualization and cfg.mode in ("teacher", "uniteacher",
-                                               "student", "distillation"):
+                                               "student", "distillation",
+                                               "multiscale"):
         # attention-heatmap export (reference train_test.py:1121-1177)
         from disentangled_multimodal_learning_tpu.train.evaluation import Evaluator
 

@@ -96,6 +96,25 @@ def test_inference_cli_visualization_export(tmp_path):
         assert data[k].shape[0] == n
 
 
+def test_inference_cli_multiscale_dispatch(tmp_path):
+    """multiscale mode routes to testMultiScaleModel (all five tag sets in
+    the detail dict) and the visualization export gate includes it."""
+    import inference as inf_mod
+
+    cfg = tiny_cfg("multiscale", synthetic_data=True, synthetic_test_size=4,
+                   save4visualization=True, checkpoints=str(tmp_path))
+    metrics = inf_mod.main(0, cfg)
+    assert np.isfinite(metrics["auc"])
+    for tag in ("tea10", "tea20", "stu10", "stu20", "stus"):
+        assert f"auc_{tag}" in metrics["detail"]["auc"]
+    npz = tmp_path / f"attention_fold{cfg.cur_fold}.npz"
+    assert npz.exists()
+    data = np.load(str(npz), allow_pickle=True)
+    # joint model emits teacher AND student maps
+    att_keys = set(k for k in data.files if k.startswith("att_"))
+    assert {"att_att1_tea10", "att_att_stu10"} <= att_keys
+
+
 def test_logger_forwards_run_config():
     """VERDICT r2 weak #2: Config IS a dataclass, and the run config must
     still reach the logging backend (reference records it, main.py:466-471)."""
@@ -341,6 +360,79 @@ def test_integrated_gradients_completeness_on_mlp():
     ig = integrated_gradients(f, x, steps=256)
     np.testing.assert_allclose(ig.sum(axis=1), np.asarray(f(jnp.asarray(x))),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_export_gene_importance_csvs(tmp_path):
+    from disentangled_multimodal_learning_tpu.utils.importance import (
+        export_gene_importance)
+
+    imp = np.array([0.1, 0.9, 0.3, 0.5])
+    genes = ["g0", "g1", "g2", "g3"]
+    paths = export_gene_importance(imp, genes, str(tmp_path), top_k=2)
+    scores = [l.strip() for l in open(paths["scores"])][1:]
+    assert [float(s) for s in scores] == [0.1, 0.9, 0.3, 0.5]
+    top = [l.strip() for l in open(paths["genes"])][1:]
+    assert top == ["g1", "g3"]  # descending importance
+
+
+def test_expected_gradients_shap_linear_exact():
+    """On a linear model f(x)=x@w, SHAP values are exact and baseline-set
+    independent: phi = (x - mean(baselines)) * w."""
+    import jax.numpy as jnp
+
+    from disentangled_multimodal_learning_tpu.utils.importance import (
+        expected_gradients_shap)
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=8).astype(np.float32)
+    x = rng.normal(size=(5, 8)).astype(np.float32)
+    bg = rng.normal(size=(6, 8)).astype(np.float32)
+    phi = expected_gradients_shap(lambda xo: xo @ jnp.asarray(w), x, bg,
+                                  n_baselines=6, steps=8, seed=0)
+    # the 6 sampled baselines are a permutation of bg (n == len(bg))
+    np.testing.assert_allclose(phi, (x - bg.mean(axis=0)) * w,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_expected_gradients_shap_completeness_mlp():
+    """SHAP completeness: phi.sum() == f(x) - E_b[f(b)] over the sampled
+    baseline set, on a nonlinear model."""
+    import jax.numpy as jnp
+
+    from disentangled_multimodal_learning_tpu.utils.importance import (
+        expected_gradients_shap)
+
+    rng = np.random.default_rng(1)
+    w1 = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+
+    def f(xo):
+        return jnp.tanh(xo @ w1) @ w2
+
+    x = rng.normal(size=(4, 8)).astype(np.float32)
+    bg = rng.normal(size=(5, 8)).astype(np.float32)
+    phi = expected_gradients_shap(f, x, bg, n_baselines=5, steps=256, seed=0)
+    expect = np.asarray(f(jnp.asarray(x)))[:, None] - np.asarray(
+        f(jnp.asarray(bg))).mean()
+    np.testing.assert_allclose(phi.sum(axis=1, keepdims=True), expect,
+                               rtol=1e-2, atol=2e-3)
+
+
+def test_deep_shap_importance_omic_model():
+    from disentangled_multimodal_learning_tpu.compat import (
+        shap_feature_importance)
+    from disentangled_multimodal_learning_tpu.train.optim import make_optimizer
+    from disentangled_multimodal_learning_tpu.train.trainers import init_model_state
+
+    cfg = tiny_cfg("omic")
+    model = define_net(cfg)
+    loaders = tiny_loaders(cfg)
+    tx = make_optimizer(cfg, 1)
+    state = init_model_state(model, cfg, next(iter(loaders[0])), tx)
+    imp = shap_feature_importance(model, state, cfg, list(loaders[1]),
+                                  n_baselines=2, steps=4)
+    assert imp.shape == (431,)
+    assert np.isfinite(imp).all() and (imp >= 0).all()
 
 
 def test_integrated_gradients_importance_omic_model():

@@ -116,6 +116,35 @@ def test_main_cotraining_roundtrip(data_tree, tmp_path):
     assert 0.0 <= metrics["acc"] <= 1.0
 
 
+def test_main_external_eval_cptac(tmp_path_factory, tmp_path):
+    """CPTAC external-eval branch (reference main.py:35-220): own manifest,
+    k-fold patient split, per-fold training + eval, then the inference
+    entry's external path rebuilds the fold-0 split from the seed."""
+    import main as main_mod
+
+    root = tmp_path_factory.mktemp("cptac")
+    rng = np.random.default_rng(7)
+    _write_cohort(root, "CPTAC", "multimodal_diag_survival_CPTAC.csv",
+                  n_patients=4, n_wsi=8, rng=rng)
+    cfg = _cfg(root, tmp_path, external_eval=True, coTraining=False,
+               printDataSplit=False)
+    results = main_mod.main(0, cfg)
+    assert sorted(results) == [0, 1]
+    for fold in results:
+        assert np.isfinite(results[fold]["auc"])
+
+    import glob as _glob
+
+    import inference as inf_mod
+
+    ckpts = sorted(_glob.glob(os.path.join(str(tmp_path), "teacher_*.ckpt")))
+    assert len(ckpts) == 2
+    metrics = inf_mod.main(0, _cfg(root, tmp_path, external_eval=True,
+                                   coTraining=False, printDataSplit=False),
+                           checkpoint=ckpts[0])
+    assert np.isfinite(metrics["auc"])
+
+
 def test_empty_diag_rows_derive_who2021(data_tree):
     """IvYGAP rows were written with empty Diag: the dataset must derive the
     4-class WHO-2021 label (reference main.py:74-83)."""

@@ -162,6 +162,34 @@ def test_training_reduces_loss():
     assert losses[-1] < losses[0]
 
 
+def test_checkpoint_backend_orbax_roundtrip(tmp_path):
+    """checkpoint_backend: orbax writes directory checkpoints through the
+    same run_training path, and restore_state reads them transparently."""
+    cfg = tiny_cfg("omic", checkpoints=str(tmp_path),
+                   checkpoint_backend="orbax")
+    model = define_net(cfg)
+    state, _, ckpt = run_training(cfg, model, tiny_loaders(cfg))
+    assert ckpt is not None and ckpt.endswith(".orbax")
+    import os
+
+    assert os.path.isdir(ckpt)
+
+    import jax
+
+    from disentangled_multimodal_learning_tpu.train.optim import make_optimizer
+    from disentangled_multimodal_learning_tpu.train.trainers import init_model_state
+    from disentangled_multimodal_learning_tpu.utils.checkpoint import restore_state
+
+    loaders = tiny_loaders(cfg)
+    fresh = init_model_state(model, cfg, next(iter(loaders[0])),
+                             make_optimizer(cfg, 2), seed=99)
+    restored = restore_state(fresh, ckpt)
+    a = jax.tree_util.tree_leaves(restored.params)
+    b = jax.tree_util.tree_leaves(state.params)
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+    assert int(restored.step) == int(state.step)
+
+
 def test_train_multiscale_reports_all_scale_tags():
     """VERDICT r1 #5: joint multiscale training must report the teacher-scale
     metrics too (reference epochScalesVal, utils/metrics.py:335-493)."""
