@@ -103,6 +103,16 @@ class Config:
     # "pickle" (single portable file) or "orbax" (async-capable TPU-idiomatic
     # directory checkpoints); restore_state reads either transparently
     checkpoint_backend: str = "pickle"
+    # > 0: also write a rolling "<mode>_fold_<k>_latest" checkpoint every N
+    # epochs; with resume=True a run that died mid-fold restarts from it,
+    # skipping the completed epochs (the reference can only save once at the
+    # end of training and reload-then-finetune, main.py:153-174)
+    save_every_epochs: int = 0
+    resume: bool = False
+    # > 0: shard the Nystrom token axis of TransMIL over the first N devices
+    # (parallel/seq_shard.py) — for single huge bags beyond one chip's HBM;
+    # mutually exclusive with data-parallel batch sharding over the same axis
+    seq_shard_devices: int = 0
     checkpoints_student: str = "#"
     checkpoints_teacher: str = "#"
 

@@ -28,7 +28,11 @@ def define_net(args):
     if mode == "path":
         return ABMIL(path_dim=args.path_dim, **common)
     if mode == "transmil":
-        return TransMIL(path_dim=args.path_dim, **common)
+        seq_mesh = None
+        if getattr(args, "seq_shard_devices", 0):
+            from ..parallel.seq_shard import make_seq_mesh
+            seq_mesh = make_seq_mesh(args.seq_shard_devices)
+        return TransMIL(path_dim=args.path_dim, seq_mesh=seq_mesh, **common)
     if mode == "omic":
         return MaxNet(input_dim=args.input_size_omic, omic_dim=args.omic_dim,
                       dropout_rate=args.dropout_rate, label_dim=args.label_dim,

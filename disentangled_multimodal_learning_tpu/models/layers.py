@@ -142,6 +142,10 @@ class NystromAttention(nn.Module):
     residual: bool = True
     residual_conv_kernel: int = 33
     dropout: float = 0.0
+    # optional jax.sharding.Mesh with a 'seq' axis: computes the landmark
+    # attention core with the token axis sharded over it (for bags beyond
+    # one chip's HBM — parallel/seq_shard.py; cfg.seq_shard_devices)
+    seq_mesh: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -157,7 +161,14 @@ class NystromAttention(nn.Module):
         vf = v  # [B, N, inner] — kept flat for the residual conv below
         q, k, v = split(q), split(k), split(v)
         q = q * (dh ** -0.5)
-        out = nystrom_attention(q, k, v, self.num_landmarks, self.pinv_iterations)
+        if self.seq_mesh is not None:
+            from ..parallel.seq_shard import nystrom_attention_seq_sharded
+            out = nystrom_attention_seq_sharded(
+                q, k, v, self.num_landmarks, self.seq_mesh,
+                self.pinv_iterations)
+        else:
+            out = nystrom_attention(q, k, v, self.num_landmarks,
+                                    self.pinv_iterations)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
 
         if self.residual:
@@ -191,6 +202,7 @@ class TransLayer(nn.Module):
     dim=512 flavor — one implementation here)."""
 
     dim: int = 128
+    seq_mesh: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -198,7 +210,7 @@ class TransLayer(nn.Module):
         y = NystromAttention(
             dim=self.dim, dim_head=self.dim // 8, heads=8,
             num_landmarks=self.dim // 2, pinv_iterations=6,
-            residual=True, dropout=0.1, name="attn",
+            residual=True, dropout=0.1, seq_mesh=self.seq_mesh, name="attn",
         )(y, deterministic=deterministic)
         return x + y
 

@@ -67,6 +67,9 @@ class TransMIL(nn.Module):
     label_dim: int
     path_dim: int = 128
     dim: int = 512
+    # jax.sharding.Mesh with a 'seq' axis: shard the token axis of both
+    # Nystrom attention cores (cfg.seq_shard_devices; parallel/seq_shard.py)
+    seq_mesh: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True):
@@ -81,9 +84,11 @@ class TransMIL(nn.Module):
         cls = self.param("cls_token", nn.initializers.normal(1.0), (1, 1, self.dim))
         h = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.dim)), h], axis=1)
 
-        h = TransLayer(dim=self.dim, name="layer1")(h, deterministic=deterministic)
+        h = TransLayer(dim=self.dim, seq_mesh=self.seq_mesh,
+                       name="layer1")(h, deterministic=deterministic)
         h = PPEG(dim=self.dim, name="pos_layer")(h, side, side)
-        h = TransLayer(dim=self.dim, name="layer2")(h, deterministic=deterministic)
+        h = TransLayer(dim=self.dim, seq_mesh=self.seq_mesh,
+                       name="layer2")(h, deterministic=deterministic)
 
         h = nn.LayerNorm(name="norm")(h)[:, 0]
         logits = nn.Dense(self.label_dim, name="_fc2")(h)

@@ -44,7 +44,20 @@ class Evaluator:
     def __init__(self, model, cfg, mode: str | None = None):
         self.cfg = cfg
         self.mode = (mode or cfg.mode)
-        self.step = jax.jit(make_eval_step(model, cfg, self.mode))
+        self._model = model
+        # metrics only read logits/risk — drop the attention maps from the
+        # jitted output so XLA DCEs them and device_get skips ~184 MB/batch
+        self.step = jax.jit(make_eval_step(model, cfg, self.mode,
+                                           need_attention=False))
+        self._attn_step = None  # built lazily for export_attention_maps
+
+    @property
+    def step_with_attention(self):
+        if self._attn_step is None:
+            self._attn_step = jax.jit(
+                make_eval_step(self._model, self.cfg, self.mode,
+                               need_attention=True))
+        return self._attn_step
 
     def _run(self, state, loader):
         outs, labels = [], []
@@ -108,9 +121,10 @@ class Evaluator:
         maps: dict[str, list] = {}
         scores, labels, ids = [], [], []
         score_key = None
+        step = self.step_with_attention
         for batch in loader:
             arrays = batch_to_arrays(batch)
-            out = self.step(state.params, state.batch_stats, arrays)
+            out = step(state.params, state.batch_stats, arrays)
             att_dict, logits_dict = out[1], out[2]
             pad = getattr(batch, "pad", 0)
             keep = np.asarray(batch.label).shape[0] - pad

@@ -305,14 +305,25 @@ def _set_in(tree: dict, path: tuple, value):
     return new
 
 
-def make_eval_step(model, cfg, mode: str | None = None) -> Callable:
-    """Deterministic forward returning the model's raw structured output."""
+def make_eval_step(model, cfg, mode: str | None = None,
+                   need_attention: bool = True) -> Callable:
+    """Deterministic forward returning the model's raw structured output.
+
+    ``need_attention=False`` empties the attention-map dict (position 1 of
+    the teacher/student/multiscale 6-tuple — four ``[B, 8, 2500, 144]``
+    maps, ~184 MB at B=4) so XLA dead-code-eliminates their
+    materialization and ``device_get`` never ships them to the host.
+    Metrics eval only reads logits/risk (evaluation.py distill_val); the
+    visualization export path keeps its attention-bearing step."""
     mode = mode or cfg.mode
     if mode == "distillation":
         mode = "student"
 
     def eval_step(params, batch_stats, arrays):
         out, _ = _apply(model, params, batch_stats, mode, arrays, None, False)
+        if (not need_attention and isinstance(out, tuple) and len(out) == 6
+                and isinstance(out[1], dict)):
+            out = (out[0], {}, *out[2:])
         return out
 
     return eval_step

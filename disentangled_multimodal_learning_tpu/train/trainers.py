@@ -71,6 +71,29 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
     sample = next(iter(train_loader))
     if state is None:
         state = init_model_state(model, cfg, sample, tx)
+
+    # mid-run resume: restore the rolling per-fold checkpoint and skip the
+    # epochs whose steps it already contains (true elastic restart — the
+    # reference only supports end-of-fold reload-then-finetune)
+    mode = cfg.mode
+    latest_name = f"{mode}_fold_{cfg.cur_fold + 1}_latest"
+    saver = (save_checkpoint_orbax
+             if getattr(cfg, "checkpoint_backend", "pickle") == "orbax"
+             else save_checkpoint)
+    suffix = ".orbax" if saver is save_checkpoint_orbax else ".ckpt"
+    start_epoch = 0
+    if (getattr(cfg, "resume", False) and cfg.checkpoints
+            and cfg.checkpoints != "#"):
+        import os
+
+        from ..utils.checkpoint import restore_state
+        latest_path = os.path.join(cfg.checkpoints, latest_name + suffix)
+        if os.path.exists(latest_path):
+            state = restore_state(state, latest_path)
+            start_epoch = min(int(state.step) // steps_per_epoch, cfg.epochs)
+            print(f"[resume] {latest_path}: step {int(state.step)} -> "
+                  f"starting at epoch {start_epoch}")
+
     if evaluator is None:
         evaluator = Evaluator(model, cfg)
     step_fn = make_train_step(model, cfg, tx, teacher_model)
@@ -93,8 +116,7 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
 
     rng = jax.random.PRNGKey(cfg.seed + 1234)
     start = time.time()
-    cur_iters = 0
-    mode = cfg.mode
+    cur_iters = start_epoch * steps_per_epoch
     if model_type:
         mt = model_type
     elif mode in ("teacher", "uniteacher"):
@@ -124,7 +146,7 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
                      len(train_loader), time.time() - start,
                      float(m["loss"])), end="", flush=True)
 
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         train_loader.set_epoch(epoch)
         epoch_losses = []
         # pending arrays for the scanned multi-step, keyed by bag shape:
@@ -180,14 +202,19 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
             mean_loss = float(np.mean(jax.device_get(epoch_losses)))
             state = set_learning_rate(state, cfg.lr * plateau.step(mean_loss))
 
+        # rolling per-fold checkpoint for elastic restart (cfg.resume)
+        every = int(getattr(cfg, "save_every_epochs", 0) or 0)
+        if (every > 0 and (epoch + 1) % every == 0 and cfg.checkpoints
+                and cfg.checkpoints != "#"):
+            saver(cfg.checkpoints, latest_name, state,
+                  extra={"mode": mode, "task": cfg.task_type,
+                         "fold": cfg.cur_fold, "epoch": epoch + 1})
+
     final_metrics = _final_eval(cfg, evaluator, state, test_loader, mt)
     ckpt_path = None
     if cfg.checkpoints and cfg.checkpoints != "#":
         name = metric_stamped_name(cfg.cur_fold, cfg.epochs - 1, final_metrics,
                                    cfg.task_type, mode=mode)
-        saver = (save_checkpoint_orbax
-                 if getattr(cfg, "checkpoint_backend", "pickle") == "orbax"
-                 else save_checkpoint)
         ckpt_path = saver(cfg.checkpoints, name, state,
                           extra={"mode": mode, "task": cfg.task_type,
                                  "fold": cfg.cur_fold})

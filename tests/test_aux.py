@@ -76,6 +76,32 @@ def test_attention_map_export(tmp_path):
     assert data["labels"].shape == (4,)
 
 
+def test_eval_step_drops_attention_for_metrics():
+    """The Evaluator's metrics step must NOT ship attention maps (XLA DCEs
+    them, device_get skips ~184 MB/batch at production shapes); the export
+    path's step must still carry them, and metrics must agree."""
+    from disentangled_multimodal_learning_tpu.train.evaluation import Evaluator
+    from disentangled_multimodal_learning_tpu.train.optim import make_optimizer
+    from disentangled_multimodal_learning_tpu.train.steps import batch_to_arrays
+    from disentangled_multimodal_learning_tpu.train.trainers import init_model_state
+
+    cfg = tiny_cfg("teacher")
+    model = define_net(cfg)
+    loaders = tiny_loaders(cfg)
+    batch = next(iter(loaders[0]))
+    state = init_model_state(model, cfg, batch, make_optimizer(cfg, 1))
+    ev = Evaluator(model, cfg)
+    arrays = batch_to_arrays(batch)
+    out = ev.step(state.params, state.batch_stats, arrays)
+    assert out[1] == {}  # attention dict emptied
+    out_full = ev.step_with_attention(state.params, state.batch_stats, arrays)
+    assert len(out_full[1]) >= 2  # att1/att2 per scale present
+    for key in out[2]:  # logits identical with and without attention
+        np.testing.assert_allclose(np.asarray(out[2][key]),
+                                   np.asarray(out_full[2][key]),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_inference_cli_visualization_export(tmp_path):
     """VERDICT r2 #2 'done' criterion: inference-CLI round trip dumps the
     five-array visualization npz."""

@@ -190,6 +190,32 @@ def test_checkpoint_backend_orbax_roundtrip(tmp_path):
     assert int(restored.step) == int(state.step)
 
 
+def test_periodic_checkpoint_and_mid_run_resume(tmp_path):
+    """save_every_epochs writes a rolling per-fold checkpoint; resume=True
+    restarts from it and skips the completed epochs (elastic restart — the
+    reference can only reload-then-finetune after a full fold)."""
+    cfg1 = tiny_cfg("omic", checkpoints=str(tmp_path), save_every_epochs=1,
+                    epochs=2)
+    model = define_net(cfg1)
+    state1, _, _ = run_training(cfg1, model, tiny_loaders(cfg1))
+    latest = tmp_path / "omic_fold_1_latest.ckpt"
+    assert latest.exists()
+    assert int(state1.step) == 4  # 2 steps/epoch * 2 epochs
+
+    # "crash" after 2 epochs; resume a 4-epoch run -> only 2 more epochs
+    cfg2 = tiny_cfg("omic", checkpoints=str(tmp_path), save_every_epochs=1,
+                    epochs=4, resume=True)
+    state2, _, _ = run_training(cfg2, define_net(cfg2), tiny_loaders(cfg2))
+    assert int(state2.step) == 8
+
+    # fully-complete run resumes to a no-op (final eval only)
+    cfg3 = tiny_cfg("omic", checkpoints=str(tmp_path), epochs=4, resume=True)
+    state3, metrics, _ = run_training(cfg3, define_net(cfg3),
+                                      tiny_loaders(cfg3))
+    assert int(state3.step) == 8
+    assert np.isfinite(metrics["auc"])
+
+
 def test_train_multiscale_reports_all_scale_tags():
     """VERDICT r1 #5: joint multiscale training must report the teacher-scale
     metrics too (reference epochScalesVal, utils/metrics.py:335-493)."""

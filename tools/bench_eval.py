@@ -42,7 +42,9 @@ def bench(mode, B=4, fixdim=2500):
     arrays = batch_to_arrays(batch)
     model = define_net(cfg)
     state = init_model_state(model, cfg, batch, make_optimizer(cfg, 1))
-    step = jax.jit(make_eval_step(model, cfg))
+    # production serving parity: Evaluator drops the attention maps from the
+    # jitted output (need_attention=False) so XLA never materializes them
+    step = jax.jit(make_eval_step(model, cfg, need_attention=False))
 
     # chain dependent evals: perturb the input by a scalar derived from the
     # previous output so the device must execute sequentially
