@@ -110,9 +110,12 @@ class Config:
     save_every_epochs: int = 0
     resume: bool = False
     # > 0: shard the Nystrom token axis of TransMIL over the first N devices
-    # (parallel/seq_shard.py) — for single huge bags beyond one chip's HBM;
-    # mutually exclusive with data-parallel batch sharding over the same axis
+    # (parallel/seq_shard.py) — for single huge bags beyond one chip's HBM
     seq_shard_devices: int = 0
+    # > 0: compose data parallelism with sequence sharding on a 2-D
+    # (data=seq_shard_dp, seq=seq_shard_devices) mesh — batch rows split
+    # over 'data' groups, each group splitting the token axis
+    seq_shard_dp: int = 0
     checkpoints_student: str = "#"
     checkpoints_teacher: str = "#"
 

@@ -30,8 +30,10 @@ def define_net(args):
     if mode == "transmil":
         seq_mesh = None
         if getattr(args, "seq_shard_devices", 0):
-            from ..parallel.seq_shard import make_seq_mesh
-            seq_mesh = make_seq_mesh(args.seq_shard_devices)
+            from ..parallel.seq_shard import make_dp_seq_mesh, make_seq_mesh
+            dp = getattr(args, "seq_shard_dp", 0)
+            seq_mesh = (make_dp_seq_mesh(dp, args.seq_shard_devices) if dp
+                        else make_seq_mesh(args.seq_shard_devices))
         return TransMIL(path_dim=args.path_dim, seq_mesh=seq_mesh, **common)
     if mode == "omic":
         return MaxNet(input_dim=args.input_size_omic, omic_dim=args.omic_dim,

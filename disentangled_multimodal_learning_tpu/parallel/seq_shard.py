@@ -37,14 +37,28 @@ from ..ops.pinv import moore_penrose_pinv
 
 
 def make_seq_mesh(n_devices: int | None = None) -> Mesh:
-    """1-D mesh over the token axis (compose with a 'data' axis by building
-    a 2-D mesh and passing it with axis_name='seq' where needed)."""
+    """1-D mesh over the token axis (compose with a 'data' axis via
+    :func:`make_dp_seq_mesh`)."""
     import numpy as np
 
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), axis_names=("seq",))
+
+
+def make_dp_seq_mesh(dp: int, seq: int) -> Mesh:
+    """2-D ``('data', 'seq')`` mesh: batch sharded over ``dp`` device groups,
+    each group splitting the token axis ``seq`` ways.  Consumers that accept
+    ``seq_mesh`` (TransMIL via cfg.seq_shard_devices) detect the 'data' axis
+    and shard their batch dimension over it too."""
+    import numpy as np
+
+    devices = jax.devices()
+    if dp * seq > len(devices):
+        raise ValueError(f"need {dp * seq} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[: dp * seq]).reshape(dp, seq),
+                axis_names=("data", "seq"))
 
 
 def nystrom_attention_seq_sharded(
@@ -91,7 +105,14 @@ def nystrom_attention_seq_sharded(
     seg = (jnp.arange(n, dtype=jnp.int32) // l == jnp.arange(m)[:, None])
     seg = seg.astype(q.dtype) / l                            # [m, n]
 
-    tok = P(None, None, axis_name, None)                     # shard N axis
+    # on a 2-D ('data', 'seq') mesh also shard the batch axis: the landmark
+    # math never mixes batch rows, so dp composes with sp for free
+    batch_axis = "data" if "data" in mesh.axis_names else None
+    if batch_axis and B % mesh.shape[batch_axis]:
+        raise ValueError(
+            f"batch {B} must divide over the {mesh.shape[batch_axis]}-way "
+            f"'{batch_axis}' mesh axis")
+    tok = P(batch_axis, None, axis_name, None)               # shard B and N
     segp = P(None, axis_name)
 
     def local_fn(seg_loc, q_loc, k_loc, v_loc):

@@ -176,6 +176,44 @@ def test_transmil_seq_shard_reachable_from_config():
                                    rtol=2e-5, atol=2e-5)
 
 
+def test_nystrom_dp_seq_2d_mesh_matches_unsharded():
+    """Composed data x sequence parallelism: the op on a 2-D (data=2, seq=4)
+    mesh equals the single-device op — batch rows never mix, so dp composes
+    with the token sharding for free."""
+    from disentangled_multimodal_learning_tpu.ops.nystrom import (
+        nystrom_attention)
+    from disentangled_multimodal_learning_tpu.parallel.seq_shard import (
+        make_dp_seq_mesh, nystrom_attention_seq_sharded)
+
+    B, H, N, D, m = 4, 2, 128, 16, 16
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(B, H, N, D)).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.normal(size=(B, H, N, D)).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.normal(size=(B, H, N, D)).astype(np.float32))
+
+    mesh = make_dp_seq_mesh(2, 4)
+    got = nystrom_attention_seq_sharded(q, k, v, m, mesh)
+    # tight check per data group: each group's rows equal the unsharded op
+    # run on that batch slice (XLA's dots reassociate with batch size and
+    # the 6 pinv iterations amplify that to ~1e-4, so full-batch equality
+    # only holds loosely — verified unsharded-vs-unsharded, not a shard bug)
+    for s in (slice(0, 2), slice(2, 4)):
+        want = nystrom_attention(q[s], k[s], v[s], m)
+        np.testing.assert_allclose(np.asarray(got[s]), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(nystrom_attention(q, k, v, m)),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_dryrun_dp_seq_train_step():
+    """The driver-facing composed-parallelism dryrun: full TransMIL train
+    step on the 2-D (data, seq) mesh compiles and executes."""
+    import __graft_entry__ as g
+
+    g._dryrun_dp_seq(8)
+
+
 def test_nystrom_seq_sharded_rejects_misaligned_chunks():
     from disentangled_multimodal_learning_tpu.parallel.seq_shard import (
         make_seq_mesh, nystrom_attention_seq_sharded)
