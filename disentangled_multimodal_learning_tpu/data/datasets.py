@@ -20,6 +20,9 @@ This module re-specifies the missing pieces with an explicit on-disk layout:
         multimodal_diag_survival_<tag>.csv   # manifest (see below)
         feats10/<WSI_ID>.npy                 # [fixdim, 1024] float, 10x scale
         feats20/<WSI_ID>.npy                 # [fixdim, 1024] float, 20x scale
+        feats10.dmltpack                     # OPTIONAL packed shard (one
+        feats20.dmltpack                     #   mmap'd file per scale; auto-
+                                             #   detected — tools/pack_dataset.py)
         genes_tumor.txt                      # one gene name per line (subset)
         genes_immune.txt                     # one gene name per line (subset)
 
@@ -106,7 +109,26 @@ class _CohortDataset:
     def __len__(self):
         return len(self.df)
 
+    def _pack_for(self, subdir):
+        """Packed shard for a feature dir (``<root>/<subdir>.dmltpack``,
+        data/packing.py) — opened lazily, cached; None when absent so the
+        per-file .npy path below stays the default."""
+        if not hasattr(self, "_packs"):
+            self._packs = {}
+        if subdir not in self._packs:
+            pack_path = os.path.join(self.root, f"{subdir}.dmltpack")
+            if os.path.exists(pack_path):
+                from .packing import PackFile
+
+                self._packs[subdir] = PackFile(pack_path)
+            else:
+                self._packs[subdir] = None
+        return self._packs[subdir]
+
     def _load_bag(self, subdir, wsi_id) -> np.ndarray:
+        pack = self._pack_for(subdir)
+        if pack is not None and pack.rows(str(wsi_id)) >= 0:
+            return pack.get(str(wsi_id), self.fixdim, self.path_dim)
         from .native_io import load_bag
 
         fp = os.path.join(self.root, subdir, f"{wsi_id}.npy")
@@ -171,6 +193,10 @@ class _CohortDataset:
             self._bag_lens = {}
         if idx not in self._bag_lens:
             wsi = str(self.df.iloc[idx]["WSI_ID"])
+            pack = self._pack_for("feats10")
+            if pack is not None and pack.rows(wsi) >= 0:
+                self._bag_lens[idx] = int(pack.rows(wsi))
+                return self._bag_lens[idx]
             path = os.path.join(self.root, "feats10", f"{wsi}.npy")
             try:
                 self._bag_lens[idx] = int(
@@ -188,12 +214,17 @@ class _CohortDataset:
         dim = int(pad_to) if pad_to is not None else self.fixdim
         rows = [self.df.iloc[i] for i in indices]
         ids = [str(r["WSI_ID"]) for r in rows]
-        x10 = load_bag_batch(
-            [os.path.join(self.root, "feats10", f"{w}.npy") for w in ids],
-            dim, self.path_dim)
-        x20 = load_bag_batch(
-            [os.path.join(self.root, "feats20", f"{w}.npy") for w in ids],
-            dim, self.path_dim)
+
+        def gather(subdir):
+            pack = self._pack_for(subdir)
+            if pack is not None and all(pack.rows(w) >= 0 for w in ids):
+                return pack.get_batch(ids, dim, self.path_dim)
+            return load_bag_batch(
+                [os.path.join(self.root, subdir, f"{w}.npy") for w in ids],
+                dim, self.path_dim)
+
+        x10 = gather("feats10")
+        x20 = gather("feats20")
         omic = np.stack([r[self.gene_cols].to_numpy(dtype=np.float32) for r in rows])
         tum = np.stack([r[self.tumor_cols].to_numpy(dtype=np.float32) for r in rows])
         imm = np.stack([r[self.immune_cols].to_numpy(dtype=np.float32) for r in rows])

@@ -56,6 +56,23 @@ def _load_library():
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int]
             lib.dmlt_load_batch.restype = ctypes.c_int
+            lib.dmlt_pack_open.argtypes = [ctypes.c_char_p]
+            lib.dmlt_pack_open.restype = ctypes.c_int64
+            lib.dmlt_pack_feat_dim.argtypes = [ctypes.c_int64]
+            lib.dmlt_pack_feat_dim.restype = ctypes.c_int64
+            lib.dmlt_pack_rows.argtypes = [ctypes.c_int64, ctypes.c_char_p]
+            lib.dmlt_pack_rows.restype = ctypes.c_int64
+            lib.dmlt_pack_get.argtypes = [
+                ctypes.c_int64, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64]
+            lib.dmlt_pack_get.restype = ctypes.c_int
+            lib.dmlt_pack_batch.argtypes = [
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int]
+            lib.dmlt_pack_batch.restype = ctypes.c_int
+            lib.dmlt_pack_close.argtypes = [ctypes.c_int64]
+            lib.dmlt_pack_close.restype = None
             _lib = lib
         except Exception:
             _lib = None
@@ -103,3 +120,56 @@ def load_bag_batch(paths, fixdim: int, feat_dim: int,
     if rc != 0:
         return np.stack([_numpy_load_bag(p, fixdim, feat_dim) for p in paths])
     return out
+
+
+# ---- packed shards (.dmltpack; format + fallback in data/packing.py) ----
+
+def pack_open(path: str):
+    """Open a packed shard via the C++ mmap reader.  Returns an opaque
+    handle, or None when the native library is unavailable or the open
+    fails (callers fall back to packing.NumpyPackReader)."""
+    lib = _load_library()
+    if lib is None:
+        return None
+    h = lib.dmlt_pack_open(path.encode())
+    return int(h) if h >= 0 else None
+
+
+def pack_feat_dim(handle) -> int:
+    return int(_load_library().dmlt_pack_feat_dim(handle))
+
+
+def pack_rows(handle, name: str) -> int:
+    """True (unpadded) row count of a bag, -1 if absent."""
+    return int(_load_library().dmlt_pack_rows(handle, name.encode()))
+
+
+def pack_get(handle, name: str, fixdim: int, feat_dim: int):
+    """One packed bag zero-padded/truncated to [fixdim, feat_dim]; None on
+    a missing name / feat_dim mismatch."""
+    lib = _load_library()
+    out = np.zeros((fixdim, feat_dim), dtype=np.float32)
+    rc = lib.dmlt_pack_get(
+        handle, name.encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), fixdim, feat_dim)
+    return out if rc == 0 else None
+
+
+def pack_batch(handle, names, fixdim: int, feat_dim: int,
+               n_threads: int = 8):
+    """Threaded batch gather -> [len(names), fixdim, feat_dim]; None if any
+    name is missing (caller resolves per-bag for the precise error)."""
+    lib = _load_library()
+    n = len(names)
+    out = np.zeros((n, fixdim, feat_dim), dtype=np.float32)
+    arr = (ctypes.c_char_p * n)(*[s.encode() for s in names])
+    rc = lib.dmlt_pack_batch(
+        handle, arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        fixdim, feat_dim, n_threads)
+    return out if rc == 0 else None
+
+
+def pack_close(handle) -> None:
+    lib = _load_library()
+    if lib is not None:
+        lib.dmlt_pack_close(handle)

@@ -9,12 +9,27 @@
 //
 // Supported .npy payloads: v1.0/v2.0 headers, C-order, little-endian
 // float32 ('<f4') and float64 ('<f8', converted to f32).
+//
+// Packed shards (.dmltpack, data/packing.py): a whole cohort's bags in ONE
+// memory-mapped file — 8-byte magic "DMLTPCK1", u64 n_bags / feat_dim /
+// index_off / names_off / payload_off header, then a 32-byte-per-bag index
+// {name_off, name_len, data_off, rows} into a names blob and a 64-byte-
+// aligned f32 payload.  Readers mmap once and memcpy per bag: no per-file
+// open/stat/header-parse on the hot path, page cache shared across loader
+// threads and epochs.
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -107,9 +122,152 @@ int load_bag(const char* path, float* out, int64_t fixdim, int64_t feat_dim) {
   return 0;
 }
 
+struct PackEntry {
+  uint64_t data_off = 0;
+  uint64_t rows = 0;
+};
+
+struct Pack {
+  const unsigned char* base = nullptr;
+  size_t size = 0;
+  int64_t feat_dim = 0;
+  std::unordered_map<std::string, PackEntry> index;
+};
+
+std::mutex g_packs_mu;
+std::vector<Pack*> g_packs;  // handle = slot; nullptr after close
+
+uint64_t read_u64(const unsigned char* p) {
+  uint64_t v;
+  memcpy(&v, p, 8);  // little-endian host assumed (x86/ARM TPU hosts)
+  return v;
+}
+
+Pack* get_pack(int64_t handle) {
+  std::lock_guard<std::mutex> lk(g_packs_mu);
+  if (handle < 0 || size_t(handle) >= g_packs.size()) return nullptr;
+  return g_packs[handle];
+}
+
+// Copy one packed bag into out[fixdim * feat_dim] (zero-pad / truncate),
+// identical semantics to load_bag above.
+int pack_get(const Pack* p, const char* name, float* out, int64_t fixdim,
+             int64_t feat_dim) {
+  if (!p || p->feat_dim != feat_dim) return -3;
+  auto it = p->index.find(name);
+  if (it == p->index.end()) return -1;
+  memset(out, 0, sizeof(float) * fixdim * feat_dim);
+  const int64_t rows =
+      int64_t(it->second.rows) < fixdim ? int64_t(it->second.rows) : fixdim;
+  const size_t nbytes = size_t(rows) * feat_dim * sizeof(float);
+  if (it->second.data_off + nbytes > p->size) return -5;
+  memcpy(out, p->base + it->second.data_off, nbytes);
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Open a .dmltpack shard: mmap + parse index.  Returns a handle >= 0, or a
+// negative error code (-1 open, -2 mmap, -3 malformed).
+int64_t dmlt_pack_open(const char* path) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return -1;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size < 48) {
+    close(fd);
+    return -1;
+  }
+  void* base = mmap(nullptr, st.st_size, PROT_READ, MAP_SHARED, fd, 0);
+  close(fd);  // mapping keeps the file alive
+  if (base == MAP_FAILED) return -2;
+  const unsigned char* b = static_cast<const unsigned char*>(base);
+  if (memcmp(b, "DMLTPCK1", 8) != 0) {
+    munmap(base, st.st_size);
+    return -3;
+  }
+  const uint64_t n_bags = read_u64(b + 8);
+  const uint64_t feat_dim = read_u64(b + 16);
+  const uint64_t index_off = read_u64(b + 24);
+  const uint64_t names_off = read_u64(b + 32);
+  if (index_off + n_bags * 32 > uint64_t(st.st_size) ||
+      names_off > uint64_t(st.st_size)) {
+    munmap(base, st.st_size);
+    return -3;
+  }
+  Pack* p = new Pack;
+  p->base = b;
+  p->size = size_t(st.st_size);
+  p->feat_dim = int64_t(feat_dim);
+  p->index.reserve(n_bags);
+  for (uint64_t i = 0; i < n_bags; ++i) {
+    const unsigned char* rec = b + index_off + i * 32;
+    const uint64_t name_off = read_u64(rec);
+    const uint64_t name_len = read_u64(rec + 8);
+    PackEntry e;
+    e.data_off = read_u64(rec + 16);
+    e.rows = read_u64(rec + 24);
+    if (names_off + name_off + name_len > uint64_t(st.st_size)) continue;
+    p->index.emplace(
+        std::string(reinterpret_cast<const char*>(b + names_off + name_off),
+                    name_len),
+        e);
+  }
+  std::lock_guard<std::mutex> lk(g_packs_mu);
+  g_packs.push_back(p);
+  return int64_t(g_packs.size()) - 1;
+}
+
+int64_t dmlt_pack_feat_dim(int64_t handle) {
+  Pack* p = get_pack(handle);
+  return p ? p->feat_dim : -1;
+}
+
+// True (unpadded) row count of a bag, or -1 if absent (bucketing uses this).
+int64_t dmlt_pack_rows(int64_t handle, const char* name) {
+  Pack* p = get_pack(handle);
+  if (!p) return -1;
+  auto it = p->index.find(name);
+  return it == p->index.end() ? -1 : int64_t(it->second.rows);
+}
+
+int dmlt_pack_get(int64_t handle, const char* name, float* out, int64_t fixdim,
+                  int64_t feat_dim) {
+  return pack_get(get_pack(handle), name, out, fixdim, feat_dim);
+}
+
+// Batch gather: n names -> out [n, fixdim, feat_dim] on n_threads threads.
+int dmlt_pack_batch(int64_t handle, const char** names, int64_t n, float* out,
+                    int64_t fixdim, int64_t feat_dim, int n_threads) {
+  Pack* p = get_pack(handle);
+  if (!p) return -1;
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = (int)n;
+  std::vector<int> codes(n, 0);
+  const int64_t stride = fixdim * feat_dim;
+  auto worker = [&](int tid) {
+    for (int64_t i = tid; i < n; i += n_threads)
+      codes[i] = pack_get(p, names[i], out + i * stride, fixdim, feat_dim);
+  };
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
+  for (auto& th : threads) th.join();
+  for (int64_t i = 0; i < n; ++i)
+    if (codes[i] != 0) return codes[i];
+  return 0;
+}
+
+void dmlt_pack_close(int64_t handle) {
+  std::lock_guard<std::mutex> lk(g_packs_mu);
+  if (handle < 0 || size_t(handle) >= g_packs.size()) return;
+  Pack* p = g_packs[handle];
+  if (!p) return;
+  munmap(const_cast<unsigned char*>(p->base), p->size);
+  delete p;
+  g_packs[handle] = nullptr;
+}
 
 // Single bag: returns 0 on success, negative error code otherwise.
 int dmlt_load_bag(const char* path, float* out, int64_t fixdim,

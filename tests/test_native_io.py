@@ -68,6 +68,110 @@ def test_native_bad_file_falls_back(tmp_path):
     np.testing.assert_array_equal(got, want)
 
 
+def test_pack_roundtrip_numpy_reader(tmp_path, rng):
+    """pack_bags -> NumpyPackReader equality with per-file loads, true row
+    counts preserved (bucketing contract)."""
+    from disentangled_multimodal_learning_tpu.data.packing import (
+        NumpyPackReader, pack_bags)
+
+    arrays = {}
+    src = tmp_path / "feats"
+    src.mkdir()
+    for i, rows in enumerate([5, 32, 50]):
+        a = rng.normal(size=(rows, 16)).astype(np.float32)
+        np.save(src / f"W{i}.npy", a)
+        arrays[f"W{i}"] = a
+    out = str(tmp_path / "feats.dmltpack")
+    assert pack_bags(str(src), out) == 3
+
+    rd = NumpyPackReader(out)
+    assert rd.feat_dim == 16
+    for name, a in arrays.items():
+        assert rd.rows(name) == a.shape[0]
+        np.testing.assert_array_equal(rd.get(name, 32, 16),
+                                      _expected(a, 32, 16))
+    got = rd.get_batch(sorted(arrays), 32, 16)
+    want = np.stack([_expected(arrays[n], 32, 16) for n in sorted(arrays)])
+    np.testing.assert_array_equal(got, want)
+    assert rd.rows("missing") == -1
+
+
+def test_pack_native_reader_matches_numpy(tmp_path, rng):
+    """The C++ mmap reader returns bit-identical bags to NumpyPackReader."""
+    from disentangled_multimodal_learning_tpu.data.packing import (
+        NumpyPackReader, PackFile, pack_bags)
+
+    if not native_io.native_available():
+        pytest.skip("g++ unavailable")
+    src = tmp_path / "feats"
+    src.mkdir()
+    names = []
+    for i, rows in enumerate([3, 20, 40, 64]):
+        np.save(src / f"W{i}.npy",
+                rng.normal(size=(rows, 8)).astype(np.float32))
+        names.append(f"W{i}")
+    out = str(tmp_path / "feats.dmltpack")
+    pack_bags(str(src), out)
+
+    pf = PackFile(out)
+    assert pf.native
+    rd = NumpyPackReader(out)
+    for n in names:
+        assert pf.rows(n) == rd.rows(n)
+        np.testing.assert_array_equal(pf.get(n, 32, 8), rd.get(n, 32, 8))
+    np.testing.assert_array_equal(pf.get_batch(names, 32, 8, n_threads=3),
+                                  rd.get_batch(names, 32, 8))
+    assert pf.rows("missing") == -1
+    pf.close()
+
+
+def test_cohort_dataset_uses_pack_when_present(tmp_path, rng):
+    """With feats{10,20}.dmltpack on disk the dataset serves identical bags
+    and bag_lens from the shard (auto-detected, no config)."""
+    import pandas as pd
+
+    from disentangled_multimodal_learning_tpu.config import Config
+    from disentangled_multimodal_learning_tpu.data import TCGA_Dataset
+    from disentangled_multimodal_learning_tpu.data.packing import pack_bags
+
+    root = tmp_path / "TCGA"
+    (root / "feats10").mkdir(parents=True)
+    (root / "feats20").mkdir()
+    rows = []
+    for i in range(3):
+        wsi = f"W{i:03d}"
+        np.save(root / "feats10" / f"{wsi}.npy",
+                rng.normal(size=(4 + i, 1024)).astype(np.float32))
+        np.save(root / "feats20" / f"{wsi}.npy",
+                rng.normal(size=(7 + i, 1024)).astype(np.float32))
+        row = {"patient_id": f"P{i}", "WSI_ID": wsi, "IDH": 1, "1p19q": 0,
+               "CDKN": 0, "His": 1, "Grade": 1, "Diag": 1, "His_2class": 0,
+               "Subtype": 1, "survival_bin": 1, "censor": 0, "event": 1,
+               "survival_time": 100}
+        row.update({f"g{j}": 0.0 for j in range(6)})
+        rows.append(row)
+    df = pd.DataFrame(rows)
+    df.to_csv(root / "multimodal_diag_survival_TCGA.csv", index=False)
+
+    cfg = Config(dataDir=str(tmp_path) + "/", fixdim=16).validate()
+    ds_npy = TCGA_Dataset(excel_wsi=df, args=cfg)
+    want = [ds_npy[i][:2] for i in range(3)]
+    want_lens = [ds_npy.bag_len(i) for i in range(3)]
+    want_batch = ds_npy.batch([0, 1, 2])
+
+    pack_bags(str(root / "feats10"), str(root / "feats10.dmltpack"))
+    pack_bags(str(root / "feats20"), str(root / "feats20.dmltpack"))
+    ds_pack = TCGA_Dataset(excel_wsi=df, args=cfg)
+    assert ds_pack._pack_for("feats10") is not None
+    for i in range(3):
+        np.testing.assert_array_equal(ds_pack[i][0], want[i][0])
+        np.testing.assert_array_equal(ds_pack[i][1], want[i][1])
+        assert ds_pack.bag_len(i) == want_lens[i] == 4 + i
+    got_batch = ds_pack.batch([0, 1, 2])
+    np.testing.assert_array_equal(got_batch.x_path10, want_batch.x_path10)
+    np.testing.assert_array_equal(got_batch.x_path20, want_batch.x_path20)
+
+
 def test_cohort_dataset_roundtrip_with_native(tmp_path, rng):
     """End-to-end: write a tiny TCGA-layout cohort to disk, read through
     TCGA_Dataset with the native loader."""
