@@ -116,6 +116,10 @@ class Config:
     # (data=seq_shard_dp, seq=seq_shard_devices) mesh — batch rows split
     # over 'data' groups, each group splitting the token axis
     seq_shard_dp: int = 0
+    # > 1: tensor parallelism — shard the deformable-attention heads /
+    # offset groups over a 'model' mesh axis (parallel/tp_shard.py); the
+    # remaining devices form the 'data' axis (dp = device_count // tp)
+    tp_devices: int = 0
     checkpoints_student: str = "#"
     checkpoints_teacher: str = "#"
 

@@ -106,11 +106,12 @@ def attn_kv_axis(layout: str = "auto") -> int:
 
 def _cpb_mlp(grid_q, grid_kv, w1, b1, w2, b2, w3, b3, log_distance, cdt):
     """Unfused CPB MLP (XLA path): pos -> sign*log1p -> 2-layer relu MLP.
-    Hiddens are [B*G, Nq, Nk, dim] (~3 GB/layer at production shapes in f32;
-    computed in ``cdt``, usually bf16)."""
+    Hiddens are [..., Nq, Nk, dim] (~3 GB/layer at production shapes in f32;
+    computed in ``cdt``, usually bf16).  ``grid_kv`` may carry any leading
+    batch dims (fused ``[B*G]`` or unfused ``[B, G]``)."""
     grid_q = grid_q.astype(cdt)
     grid_kv = grid_kv.astype(cdt)
-    pos = grid_q[None, :, None, :] - grid_kv[:, None, :, :]  # [B*G,Nq,Nk,P]
+    pos = grid_q[:, None, :] - grid_kv[..., None, :, :]  # [...,Nq,Nk,P]
     if log_distance:
         pos = jnp.sign(pos) * jnp.log(jnp.abs(pos) + 1.0)
     h = jnp.maximum(pos @ w1.astype(cdt) + b1.astype(cdt), 0)
@@ -125,7 +126,11 @@ class CPB(nn.Module):
     models/DeformableAttention1D.py:60-102).
 
     grid_q: ``[Nq, P]`` static query coords; grid_kv: ``[B*G, Nk, P]`` sampled
-    coords (P=2 for 2-D, 1 for 1-D).  Returns bias ``[B, heads, Nq, Nk]``.
+    coords, or unfused ``[B, G, Nk, P]`` (P=2 for 2-D, 1 for 1-D).  Returns
+    bias ``[B, heads, Nq, Nk]``.  The unfused form keeps the group axis out
+    of the batch dim so a tensor-parallel mesh axis can shard it
+    (parallel/tp_shard.py); the Pallas kernels re-fuse at the kernel
+    boundary (single-chip TPU only).
 
     Two execution paths over the SAME parameters:
     - fused wide-layout Pallas kernel (TPU, 2-D, depth=2, dim=32,
@@ -142,8 +147,11 @@ class CPB(nn.Module):
     @nn.compact
     def __call__(self, grid_q: jnp.ndarray, grid_kv: jnp.ndarray, *,
                  transposed: bool = False) -> jnp.ndarray:
-        bg = grid_kv.shape[0]
-        b = bg // self.offset_groups
+        if grid_kv.ndim == 4:  # unfused [B, G, Nk, P]
+            b = grid_kv.shape[0]
+            assert grid_kv.shape[1] == self.offset_groups
+        else:
+            b = grid_kv.shape[0] // self.offset_groups
         out_per_group = self.heads // self.offset_groups
         P = grid_q.shape[-1]
 
@@ -172,6 +180,9 @@ class CPB(nn.Module):
         # single-channel only
         use_pallas_t = base_ok and transposed and P in (1, 2)
         use_pallas = base_ok and not transposed and P == 2 and out_per_group == 1
+        if (use_pallas_t or use_pallas) and grid_kv.ndim == 4:
+            # kernels take the fused [B*G, Nk, P] row layout
+            grid_kv = grid_kv.reshape(-1, *grid_kv.shape[-2:])
         if use_pallas_t:
             # transposed kernel emits [B*G, (out,) Nk, Nq] natively (no
             # streams, no relayouts).  The 1-D CPB (P=1, e.g.
@@ -204,7 +215,9 @@ class CPB(nn.Module):
                     policy=jax.checkpoint_policies.nothing_saveable)
             bias = fn(grid_q, grid_kv, w1, b1, w2, b2, w3, b3,
                       self.log_distance, cdt)
-        nq, nk = bias.shape[1], bias.shape[2]
+        nq, nk = bias.shape[-3], bias.shape[-2]
+        # no-op when bias is already unfused [B, G, Nq, Nk, opg] (the
+        # TP-friendly XLA path); splits B*G for the fused/Pallas paths
         bias = bias.reshape(b, self.offset_groups, nq, nk, out_per_group)
         bias = bias.transpose(0, 1, 4, 2, 3).reshape(b, self.heads, nq, nk)
         if transposed:
@@ -237,21 +250,32 @@ def normalize_grid_2d(grid: jnp.ndarray) -> jnp.ndarray:
 
 
 class _DepthwiseConv(nn.Module):
-    """Depthwise conv (2D kernel k, stride s) on NHWC."""
+    """Depthwise conv (2D kernel k, stride s) on NHWC.
+
+    ``tile > 1`` applies the same per-channel kernel to ``tile`` stacked
+    channel groups (``[B, h, w, tile*channels]``, group-major) — numerically
+    identical to batching the groups into the batch dim, but it keeps the
+    group axis out of a fused ``B*G`` dim so a tensor-parallel mesh axis can
+    shard it (parallel/tp_shard.py).  Params are identical to ``tile=1``."""
 
     kernel_size: int
     stride: int
     channels: int
+    tile: int = 1
 
     @nn.compact
     def __call__(self, x):
         k, s, c = self.kernel_size, self.stride, self.channels
         ker = self.param("kernel", nn.initializers.lecun_normal(), (k, k, 1, c))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+        if self.tile > 1:
+            ker = jnp.tile(ker, (1, 1, 1, self.tile))
+            bias = jnp.tile(bias, (self.tile,))
         pad = (k - s) // 2
         y = jax.lax.conv_general_dilated(
             x, ker, (s, s), ((pad, pad), (pad, pad)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c * self.tile,
         )
         return y + bias
 
@@ -302,34 +326,39 @@ class DeformCrossAttention2D(nn.Module):
                              name="to_q")(x1)  # [B,N,inner]
 
         # ---- offsets from grouped queries --------------------------------
-        qg = q.reshape(B, side, side, G, od).transpose(0, 3, 1, 2, 4)
-        qg = qg.reshape(B * G, side, side, od)  # [B*G, h, w, od]
-        off = _DepthwiseConv(self.offset_kernel_size, self.downsample_factor, od,
-                             name="offset_conv")(qg)
+        # The offset-group axis G stays UNFUSED from the batch dim all the
+        # way through (channels kept group-major; the depthwise conv tiles
+        # its shared kernel instead of folding G into batch): every reshape
+        # below then splits/merges with G (or heads) as the major factor, so
+        # a tensor-parallel 'model' mesh axis sharding the head/group params
+        # (parallel/tp_shard.py) propagates with zero resharding.
+        qg = q.reshape(B, side, side, G * od)  # channels group-major
+        off = _DepthwiseConv(self.offset_kernel_size, self.downsample_factor,
+                             od, tile=G, name="offset_conv")(qg)
         off = nn.gelu(off, approximate=False)
-        off = nn.Dense(2, use_bias=False, name="offset_out")(off)  # [B*G, gh, gw, 2]
-        off = jnp.tanh(off) * self.offset_scale
         gh, gw = off.shape[1], off.shape[2]
-        off = off.transpose(0, 3, 1, 2)  # [B*G, 2, gh, gw]
+        off = off.reshape(B, gh, gw, G, od)
+        off = nn.Dense(2, use_bias=False, name="offset_out")(off)  # [B,gh,gw,G,2]
+        off = jnp.tanh(off) * self.offset_scale
+        off = off.transpose(0, 3, 4, 1, 2)  # [B, G, 2, gh, gw]
 
         grid = create_grid_2d(gh, gw, dtype=off.dtype)
-        vgrid = grid[None] + off  # [B*G, 2, gh, gw]
+        vgrid = grid[None, None] + off  # [B, G, 2, gh, gw]
         # vgrid is normalized by the SMALL grid extent (gh-1, gw-1), exactly
         # like the reference (normalize_grid reads vgrid.shape[-2:],
         # models/DeformableAttention2D.py:270): the coarse 12x12 base grid is
         # stretched over the full 50x50 kv map in normalized coordinates, and
         # a tanh offset of +-offset_scale small-grid units deforms it.
-        vgrid_scaled = normalize_grid_2d(vgrid)  # [B*G, gh, gw, 2]
+        vgrid_scaled = normalize_grid_2d(vgrid)  # [B, G, gh, gw, 2]
 
         # ---- gather kv features at deformed positions --------------------
         x2g = x2.reshape(B, side, side, G, C // G).transpose(0, 3, 1, 2, 4)
-        x2g = x2g.reshape(B * G, side, side, C // G)
-        pts = vgrid_scaled.reshape(B * G, gh * gw, 2)
+        pts = vgrid_scaled.reshape(B, G, gh * gw, 2)
         # matmul formulation: identical values, scatter-free backward (the
         # gather version's scatter-add lowers to while-loops on TPU)
-        kv = grid_sample_2d_matmul(x2g, pts)  # [B*G, K, C//G]
+        kv = grid_sample_2d_matmul(x2g, pts)  # [B, G, K, C//G]
         K = gh * gw
-        kv = kv.reshape(B, G, K, C // G).transpose(0, 2, 1, 3).reshape(B, K, C)
+        kv = kv.transpose(0, 2, 1, 3).reshape(B, K, C)
 
         k = GroupedPointwise(G, inner, use_bias=False, dtype=cdt, name="to_k")(kv)
         v = GroupedPointwise(G, inner, use_bias=False, dtype=cdt, name="to_v")(kv)
@@ -381,7 +410,8 @@ class DeformCrossAttention2D(nn.Module):
         out = nn.Dense(self.dim, use_bias=True, name="to_out")(out)
 
         if return_vgrid:
-            return out, vgrid
+            # public contract keeps the reference's fused [B*G, 2, gh, gw]
+            return out, vgrid.reshape(B * G, 2, gh, gw)
         return out, attn_return
 
 

@@ -149,11 +149,15 @@ def grid_sample_2d_matmul(feats: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarra
 
     Memory: W is [B, P, H*W] (e.g. 64 x 144 x 2500 = 92 MB f32 at production
     shapes) — use the gather version when H*W is large and P is not small.
+
+    Accepts arbitrary leading batch dims: ``feats [..., H, W, C]`` with
+    ``points [..., P, 2]`` (e.g. an unfused ``[B, G, ...]`` group axis, which
+    a tensor-parallel mesh axis can shard — parallel/tp_shard.py).
     """
     import jax
 
-    B, H, W, C = feats.shape
-    P = points.shape[1]
+    lead = feats.shape[:-3]
+    H, W, C = feats.shape[-3:]
     x = points[..., 0]
     y = points[..., 1]
     fx = ((x + 1.0) * W - 1.0) * 0.5
@@ -173,8 +177,9 @@ def grid_sample_2d_matmul(feats: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarra
     Wmat = (corner_w(x0, y0, (1 - wx1) * (1 - wy1))
             + corner_w(x0 + 1, y0, wx1 * (1 - wy1))
             + corner_w(x0, y0 + 1, (1 - wx1) * wy1)
-            + corner_w(x0 + 1, y0 + 1, wx1 * wy1))  # [B, P, H*W]
-    return jnp.einsum("bpm,bmc->bpc", Wmat, feats.reshape(B, H * W, C))
+            + corner_w(x0 + 1, y0 + 1, wx1 * wy1))  # [..., P, H*W]
+    return jnp.einsum("...pm,...mc->...pc", Wmat,
+                      feats.reshape(*lead, H * W, C))
 
 
 def grid_sample_1d_matmul(feats: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:

@@ -56,7 +56,17 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
     tx = make_optimizer(cfg, steps_per_epoch)
 
     mesh = None
-    if jax.device_count() > 1:
+    tp = int(getattr(cfg, "tp_devices", 0) or 0)
+    if tp > 1 and jax.device_count() >= tp:
+        # 2-D (data, model) mesh: attention heads sharded over 'model'
+        # (parallel/tp_shard.py), batch rows over the remaining devices
+        from ..parallel.tp_shard import engage_tp, make_dp_tp_mesh
+        dp = max(1, jax.device_count() // tp)
+        while dp > 1 and cfg.batch_size % dp:
+            dp //= 2
+        engage_tp()
+        mesh = make_dp_tp_mesh(dp, tp)
+    elif jax.device_count() > 1:
         if cfg.batch_size % jax.device_count() == 0:
             mesh = get_mesh()
         else:
@@ -93,6 +103,13 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
             start_epoch = min(int(state.step) // steps_per_epoch, cfg.epochs)
             print(f"[resume] {latest_path}: step {int(state.step)} -> "
                   f"starting at epoch {start_epoch}")
+
+    if tp > 1 and mesh is not None:
+        # head-shard the attention params over 'model' (after any resume
+        # restore, which replaces params with host arrays)
+        from ..parallel.tp_shard import shard_params_tp
+
+        state = state.replace(params=shard_params_tp(state.params, mesh))
 
     if evaluator is None:
         evaluator = Evaluator(model, cfg)

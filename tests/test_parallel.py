@@ -297,3 +297,76 @@ def test_scan_steps_sharded_training_runs():
     model = define_net(cfg)
     state, metrics, _ = run_training(cfg, model, loaders)
     assert int(state.step) == 4  # 32 / 8 = 4 updates, scanned in pairs
+
+
+# ---- tensor parallelism over attention heads (parallel/tp_shard.py) ----
+
+def test_tp_partition_specs_find_the_four_attentions():
+    """head_partition_specs recognizes exactly the four 2-D deformable
+    attentions in the teacher (grouped rank-3 q/k/v kernels) and leaves the
+    1-D module's ungrouped Dense projections replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    from disentangled_multimodal_learning_tpu.parallel.tp_shard import (
+        count_tp_modules, head_partition_specs)
+
+    cfg, model, tx, state, step, batch, _ = _setup("teacher", batch=4)
+    assert count_tp_modules(state.params) == 4
+    specs = head_partition_specs(state.params)
+    att = specs["teacher10_net"]["encoder"]["attn2d_omic1"]
+    assert att["to_q"]["kernel"] == P("model", None, None)
+    assert att["to_out"]["kernel"] == P("model", None)
+    assert att["rel_pos_bias"]["mlp_0_kernel"] == P()  # CPB shared MLP
+
+    # deformpathomic with attn_dim=1: 1-D deform attention only -> nothing
+    # head-sharded (its q/k/v are ungrouped Dense, reference
+    # DeformCrossTransMIL.py:55-60)
+    cfg1 = Config(mode="deformpathomic", task_type="diag2021", label_dim=4,
+                  fixdim=64, batch_size=2, attn_dim=1, checkpoints="#",
+                  debug=True).validate()
+    ds = SyntheticBagDataset(size=2, fixdim=64, label_dim=4, seed=0, args=cfg1)
+    b1 = next(iter(BagLoader(ds, 2, shuffle=False)))
+    m1 = define_net(cfg1)
+    st1 = init_model_state(m1, cfg1, b1, make_optimizer(cfg1, 1))
+    assert count_tp_modules(st1.params) == 0
+
+
+@pytest.mark.parametrize("mode", ["teacher", "student"])
+def test_dp_tp_2d_mesh_matches_unsharded(mode):
+    """Composed data x tensor parallelism: the full train step on a 2-D
+    (data=2, model=4) mesh — batch rows split over 'data', attention
+    heads/offset-groups split over 'model' — equals the unsharded step.
+    The 'model' axis shards the CPB bias MLP rows, the measured bottleneck
+    of the teacher step (PERF.md); the only communication it adds is the
+    psum of each attention's [B, N, dim] to_out projection."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from disentangled_multimodal_learning_tpu.parallel.tp_shard import (
+        make_dp_tp_mesh, shard_params_tp)
+
+    cfg, model, tx, state, step, batch, _ = _setup(mode, batch=4)
+    arrays = batch_to_arrays(batch)
+    rng = jax.random.PRNGKey(0)
+    s1, m1 = jax.jit(step)(state, arrays, rng, None)
+
+    mesh = make_dp_tp_mesh(2, 4)
+    repl = NamedSharding(mesh, P())
+    state_tp = state.replace(
+        params=shard_params_tp(state.params, mesh),
+        opt_state=jax.device_put(state.opt_state, repl),
+        step=jax.device_put(state.step, repl),
+        batch_stats=(jax.device_put(state.batch_stats, repl)
+                     if state.batch_stats is not None else None))
+    s2, m2 = jax.jit(step)(state_tp, shard_batch(arrays, mesh), rng, None)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5, atol=1e-5)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    total = loose = 0
+    for a, b in zip(l1, l2):
+        diff = np.abs(np.asarray(a) - np.asarray(b))
+        assert diff.max() <= 2 * cfg.lr + 1e-6
+        total += diff.size
+        loose += int((diff > 1e-5).sum())
+    assert loose / total < 1e-3
