@@ -120,6 +120,17 @@ class Config:
     # offset groups over a 'model' mesh axis (parallel/tp_shard.py); the
     # remaining devices form the 'data' axis (dp = device_count // tp)
     tp_devices: int = 0
+    # 2: scale-branch parallelism — stack the two magnification branches of
+    # the teacher/student/multiscale families and shard them over a 'scale'
+    # mesh axis (parallel/branch_shard.py); the remaining devices form the
+    # 'data' axis (dp = device_count // 2)
+    branch_devices: int = 0
+    # 2: pipeline parallelism for mode=distillation — the frozen teacher
+    # forward on stage 0, the student fwd+bwd on stage 1, microbatches
+    # flowing through a KB-scale ppermute handoff (parallel/pipe_shard.py);
+    # the remaining devices form the 'data' axis (dp = device_count // 2)
+    pipe_devices: int = 0
+    pipe_microbatches: int = 2
     checkpoints_student: str = "#"
     checkpoints_teacher: str = "#"
 

@@ -76,13 +76,17 @@ def define_net(args):
             task_type=args.task_type,
             degenerate_1d_sampling=getattr(args, "degenerate_1d_sampling",
                                            False), **common)
+    # scale-branch parallelism stacks the two magnification branches so a
+    # 'scale' mesh axis can shard them (parallel/branch_shard.py)
+    stacked = getattr(args, "branch_devices", 0) > 1
     if mode == "multiscale":
         return MultiScaleNet(
             input_size_omic_tumor=args.input_size_omic_tumor,
             input_size_omic_immune=args.input_size_omic_immune,
             path_dim=args.path_dim, omic_dim=args.omic_dim, mmhid=args.mmhid,
             dropout_rate=args.dropout_rate, sample_ratio=args.path_cluster_num,
-            combination_type=args.combination_type_teas, **common)
+            combination_type=args.combination_type_teas,
+            stacked_scales=stacked, **common)
     if mode in ("teacher", "uniteacher"):
         return TeachersNet(
             input_size_omic_tumor=args.input_size_omic_tumor,
@@ -90,11 +94,12 @@ def define_net(args):
             path_dim=args.path_dim, omic_dim=args.omic_dim,
             dropout_rate=args.dropout_rate,
             combination_type=args.combination_type_teas,
-            unimodal=mode == "uniteacher", **common)
+            unimodal=mode == "uniteacher", stacked_scales=stacked, **common)
     if mode == "student":
         return StudentsNet(path_dim=args.path_dim,
                            sample_ratio=args.path_cluster_num,
-                           combination_type=args.combination_type_stus, **common)
+                           combination_type=args.combination_type_stus,
+                           stacked_scales=stacked, **common)
     if mode == "distillation":
         student = StudentsNet(path_dim=args.path_dim,
                               sample_ratio=args.path_cluster_num,

@@ -27,6 +27,21 @@ from .layers import FusionNet, Pooler, TransFusionLayer, combine_logits, surviva
 from .maxnet import MaxNet
 
 
+def _scale_vmap(module_cls, n_call_args: int):
+    """Lift ``module_cls`` over a leading scale axis of size 2: params get a
+    stacked leading dim (one slice per magnification), inputs broadcast except
+    the first (the per-scale path bag).  With ``cfg.branch_devices`` the
+    stacked axis is sharded over a 'scale' mesh axis so each device group
+    computes one magnification's branch (parallel/branch_shard.py)."""
+    return nn.vmap(
+        module_cls,
+        in_axes=(0,) + (None,) * (n_call_args - 1),
+        out_axes=0,
+        variable_axes={"params": 0},
+        split_rngs={"params": True, "dropout": True},
+    )
+
+
 def _deform2d(name: str, dim: int = 128) -> DeformCrossAttention2D:
     # instantiation constants from reference models/Modules.py:107-126
     return DeformCrossAttention2D(
@@ -174,6 +189,10 @@ class TeachersNet(nn.Module):
     dropout_rate: float = 0.1
     combination_type: str = "max_confidence"
     unimodal: bool = False  # True = UniTeachersNet (reference :709-792)
+    # stack the two TeacherNets along a leading scale axis (branch
+    # parallelism, parallel/branch_shard.py); params move from
+    # teacher10_net/teacher20_net to one teacher_nets subtree
+    stacked_scales: bool = False
 
     @nn.compact
     def __call__(self, x_path10, x_path20, x_omic_tumor, x_omic_immune,
@@ -184,14 +203,26 @@ class TeachersNet(nn.Module):
         omic_i, _, _ = MaxNet(self.input_size_omic_immune, self.omic_dim,
                               dropout_rate=self.dropout_rate, label_dim=self.label_dim,
                               name="omic_net_immune")(x_omic_immune, deterministic)
-        tea10 = TeacherNet(self.label_dim, self.path_dim, unimodal=self.unimodal,
-                           name="teacher10_net")
-        tea20 = TeacherNet(self.label_dim, self.path_dim, unimodal=self.unimodal,
-                           name="teacher20_net")
-        l10, h10, s10, r10, f1_10, f2_10, a1_10, a2_10 = tea10(
-            x_path10, [omic_t, omic_i], deterministic)
-        l20, h20, s20, r20, f1_20, f2_20, a1_20, a2_20 = tea20(
-            x_path20, [omic_t, omic_i], deterministic)
+        if self.stacked_scales:
+            teas = _scale_vmap(TeacherNet, 3)(
+                self.label_dim, self.path_dim, unimodal=self.unimodal,
+                name="teacher_nets")
+            xs = jnp.stack([x_path10, x_path20])  # [2, B, N, 1024]
+            l, h, s, r, f1, f2, a1, a2 = teas(xs, [omic_t, omic_i],
+                                              deterministic)
+            (l10, h10, s10, r10, f1_10, f2_10, a1_10, a2_10) = (
+                l[0], h[0], s[0], r[0], f1[0], f2[0], a1[0], a2[0])
+            (l20, h20, s20, r20, f1_20, f2_20, a1_20, a2_20) = (
+                l[1], h[1], s[1], r[1], f1[1], f2[1], a1[1], a2[1])
+        else:
+            tea10 = TeacherNet(self.label_dim, self.path_dim,
+                               unimodal=self.unimodal, name="teacher10_net")
+            tea20 = TeacherNet(self.label_dim, self.path_dim,
+                               unimodal=self.unimodal, name="teacher20_net")
+            l10, h10, s10, r10, f1_10, f2_10, a1_10, a2_10 = tea10(
+                x_path10, [omic_t, omic_i], deterministic)
+            l20, h20, s20, r20, f1_20, f2_20, a1_20, a2_20 = tea20(
+                x_path20, [omic_t, omic_i], deterministic)
 
         l_teas = combine_logits(l10, l20, self.combination_type)
         h_teas, s_teas, r_teas = survival_chain(l_teas)
@@ -214,21 +245,37 @@ class StudentsNet(nn.Module):
     path_dim: int = 128
     sample_ratio: float = 0.0008
     combination_type: str = "max_confidence"
+    stacked_scales: bool = False  # see TeachersNet / parallel/branch_shard.py
 
     @nn.compact
     def __call__(self, x_path10, x_path20, deterministic: bool = True):
-        stu10 = StudentNet(self.label_dim, self.path_dim, self.sample_ratio,
-                           name="student10_net")
-        stu20 = StudentNet(self.label_dim, self.path_dim, self.sample_ratio,
-                           name="student20_net")
-        l10, h10, s10, r10, f10, a10 = stu10(x_path10, deterministic)
-        l20, h20, s20, r20, f20, a20 = stu20(x_path20, deterministic)
+        if self.stacked_scales:
+            stus = _scale_vmap(StudentNet, 2)(
+                self.label_dim, self.path_dim, self.sample_ratio,
+                name="student_nets")
+            xs = jnp.stack([x_path10, x_path20])
+            l, h, s, r, f, a = stus(xs, deterministic)
+            l10, h10, s10, r10, f10, a10 = l[0], h[0], s[0], r[0], f[0], a[0]
+            l20, h20, s20, r20, f20, a20 = l[1], h[1], s[1], r[1], f[1], a[1]
+            a_stacked = a  # scale-leading maps for path_batch_loss_stacked
+        else:
+            stu10 = StudentNet(self.label_dim, self.path_dim, self.sample_ratio,
+                               name="student10_net")
+            stu20 = StudentNet(self.label_dim, self.path_dim, self.sample_ratio,
+                               name="student20_net")
+            l10, h10, s10, r10, f10, a10 = stu10(x_path10, deterministic)
+            l20, h20, s20, r20, f20, a20 = stu20(x_path20, deterministic)
+            a_stacked = None
 
         l_stus = combine_logits(l10, l20, self.combination_type)
         h_stus, s_stus, r_stus = survival_chain(l_stus)
 
         feature_dict = {"feature_stu10": f10, "feature_stu20": f20}
         att_dict = {"att_stu10": a10, "att_stu20": a20}
+        if a_stacked is not None:
+            # scale-leading view for the branch-partitioned consistency loss
+            # (train/losses.py path_batch_loss_stacked); eval export skips it
+            att_dict["att_stu_stacked"] = a_stacked
         logits_dict = {"logits_stu10": l10, "logits_stu20": l20, "logits_stus": l_stus}
         hazards_dict = {"hazards_stu10": h10, "hazards_stu20": h20, "hazards_stus": h_stus}
         S_dict = {"S_stu10": s10, "S_stu20": s20, "S_stus": s_stus}
@@ -275,20 +322,39 @@ class MultiScaleNet(nn.Module):
     dropout_rate: float = 0.1
     sample_ratio: float = 0.0008
     combination_type: str = "max_confidence"
+    stacked_scales: bool = False  # see TeachersNet / parallel/branch_shard.py
 
     @nn.compact
     def __call__(self, x_path10, x_path20, x_omic_tumor, x_omic_immune,
                  deterministic: bool = True):
-        mk = lambda name: TeacherStudentNet(
-            self.label_dim, self.input_size_omic_tumor, self.input_size_omic_immune,
-            self.path_dim, self.omic_dim, self.dropout_rate, self.sample_ratio,
-            name=name)
-        (ls10, hs10, ss10, rs10, fs10, as10,
-         lt10, ht10, st10, rt10, f1t10, f2t10, a1t10, a2t10) = mk("scale10_net")(
-            x_path10, x_omic_tumor, x_omic_immune, deterministic)
-        (ls20, hs20, ss20, rs20, fs20, as20,
-         lt20, ht20, st20, rt20, f1t20, f2t20, a1t20, a2t20) = mk("scale20_net")(
-            x_path20, x_omic_tumor, x_omic_immune, deterministic)
+        if self.stacked_scales:
+            scales = _scale_vmap(TeacherStudentNet, 4)(
+                self.label_dim, self.input_size_omic_tumor,
+                self.input_size_omic_immune, self.path_dim, self.omic_dim,
+                self.dropout_rate, self.sample_ratio, name="scale_nets")
+            xs = jnp.stack([x_path10, x_path20])
+            outs = scales(xs, x_omic_tumor, x_omic_immune, deterministic)
+            (ls10, hs10, ss10, rs10, fs10, as10,
+             lt10, ht10, st10, rt10, f1t10, f2t10, a1t10, a2t10) = (
+                o[0] for o in outs)
+            (ls20, hs20, ss20, rs20, fs20, as20,
+             lt20, ht20, st20, rt20, f1t20, f2t20, a1t20, a2t20) = (
+                o[1] for o in outs)
+            as_stacked = outs[5]  # student maps, scale-leading
+        else:
+            mk = lambda name: TeacherStudentNet(
+                self.label_dim, self.input_size_omic_tumor,
+                self.input_size_omic_immune, self.path_dim, self.omic_dim,
+                self.dropout_rate, self.sample_ratio, name=name)
+            (ls10, hs10, ss10, rs10, fs10, as10,
+             lt10, ht10, st10, rt10, f1t10, f2t10, a1t10, a2t10) = mk(
+                "scale10_net")(x_path10, x_omic_tumor, x_omic_immune,
+                               deterministic)
+            (ls20, hs20, ss20, rs20, fs20, as20,
+             lt20, ht20, st20, rt20, f1t20, f2t20, a1t20, a2t20) = mk(
+                "scale20_net")(x_path20, x_omic_tumor, x_omic_immune,
+                               deterministic)
+            as_stacked = None
 
         l_stus = combine_logits(ls10, ls20, self.combination_type)
         h_stus, s_stus, r_stus = survival_chain(l_stus)
@@ -299,6 +365,10 @@ class MultiScaleNet(nn.Module):
         att_dict = {"att1_tea10": a1t10, "att2_tea10": a2t10,
                     "att1_tea20": a1t20, "att2_tea20": a2t20,
                     "att_stu10": as10, "att_stu20": as20}
+        if as_stacked is not None:
+            # scale-leading view for the branch-partitioned consistency loss
+            # (train/losses.py path_batch_loss_stacked); eval export skips it
+            att_dict["att_stu_stacked"] = as_stacked
         logits_dict = {"logits_tea10": lt10, "logits_tea20": lt20,
                        "logits_stu10": ls10, "logits_stu20": ls20,
                        "logits_stus": l_stus}

@@ -129,6 +129,8 @@ class Evaluator:
             pad = getattr(batch, "pad", 0)
             keep = np.asarray(batch.label).shape[0] - pad
             for key in sorted(att_dict):
+                if key.endswith("_stacked"):
+                    continue  # scale-leading loss-only view (branch_shard.py)
                 att = np.asarray(att_dict[key])[:keep]  # [B,H,N,K] / [B,H,K,N]
                 maps.setdefault(key, []).append(
                     att.max(axis=1).mean(axis=kv_ax))  # [B, N]

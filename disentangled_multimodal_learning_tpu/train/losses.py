@@ -152,6 +152,25 @@ def path_batch_loss(att10: jnp.ndarray, att20: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum((m10 - m20) ** 2 / n)
 
 
+def path_batch_loss_stacked(att: jnp.ndarray) -> jnp.ndarray:
+    """``path_batch_loss(att[0], att[1])`` computed with the scale axis still
+    LEADING: ``att`` is the ``[2, N, 8, L1, L2]`` stacked two-scale map from a
+    ``stacked_scales`` model (parallel/branch_shard.py).
+
+    Under a ``'scale'``-sharded mesh the per-scale Gram contraction
+    (``sbhij,schij->shbc``) keeps the scale axis partitioned, so each device
+    group reduces its OWN magnification's 46 MB map down to an [8, N, N] Gram
+    locally and only the KB-scale Grams cross the scale seam — slicing the
+    maps first (as ``path_batch_loss`` on ``att[0]``/``att[1]`` would) forces
+    GSPMD to replicate both full maps across the seam (measured:
+    tools/exp_branch_partition.py)."""
+    n = att.shape[1]
+    s = jnp.einsum("sbhij,schij->shbc", att, att)  # [2, 8, N, N]
+    norm = jnp.linalg.norm(s, axis=3, keepdims=True)
+    m = jnp.mean(s / norm, axis=1)  # [2, N, N]
+    return jnp.sum((m[0] - m[1]) ** 2 / n)
+
+
 def diag_variance_loss(x: jnp.ndarray, weight: float = 1.0) -> jnp.ndarray:
     """Unbiased variance of the matrix diagonal (reference utils/loss.py:82-85;
     torch.var defaults to the n-1 denominator)."""

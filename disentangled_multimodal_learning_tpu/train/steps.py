@@ -151,8 +151,15 @@ def make_train_step(model, cfg, tx: optax.GradientTransformation,
             loss = taskloss
             metrics["taskloss"] = taskloss
             if multiscale_attention:
-                batchloss = 1000.0 * L.path_batch_loss(
-                    att_dict["att_stu10"], att_dict["att_stu20"])
+                # the stacked variant keeps the scale axis leading so a
+                # 'scale'-sharded mesh contracts each map locally
+                # (parallel/branch_shard.py)
+                if "att_stu_stacked" in att_dict:
+                    batchloss = 1000.0 * L.path_batch_loss_stacked(
+                        att_dict["att_stu_stacked"])
+                else:
+                    batchloss = 1000.0 * L.path_batch_loss(
+                        att_dict["att_stu10"], att_dict["att_stu20"])
                 loss = loss + batchloss
                 metrics["batchloss"] = batchloss
 
@@ -211,11 +218,16 @@ def make_train_step(model, cfg, tx: optax.GradientTransformation,
             loss = taskloss
             metrics["taskloss"] = taskloss
             if multiscale_attention:
+                if "att_stu_stacked" in att_dict:  # branch-parallel layout
+                    stu_batchloss = 1000.0 * L.path_batch_loss_stacked(
+                        att_dict["att_stu_stacked"])
+                else:
+                    stu_batchloss = 1000.0 * L.path_batch_loss(
+                        att_dict["att_stu10"], att_dict["att_stu20"])
                 batchloss = (L.omic_domain_scale_loss(
                     att_dict["att1_tea10"], att_dict["att1_tea20"],
                     att_dict["att2_tea10"], att_dict["att2_tea20"])
-                    + 1000.0 * L.path_batch_loss(att_dict["att_stu10"],
-                                                 att_dict["att_stu20"]))
+                    + stu_batchloss)
                 loss = loss + batchloss
                 metrics["batchloss"] = batchloss
 
@@ -266,16 +278,28 @@ def make_train_step(model, cfg, tx: optax.GradientTransformation,
 
         if gradient_modulate and mode in ("teacher", "uniteacher"):
             label = arrays["label"][:, label_col]
-            for net in ("teacher10_net", "teacher20_net"):
-                suffix = net[7:9]  # "10" / "20"
-                f1 = aux["features"][f"feature1_tea{suffix}"]
-                f2 = aux["features"][f"feature2_tea{suffix}"]
-                cls = state.params[net]["classifier"]
-                new_kernel_grad = modulate_kernel_grad(
-                    grads[net]["classifier"]["kernel"], f1, f2,
-                    cls["kernel"], cls["bias"], label)
-                grads = _set_in(grads, (net, "classifier", "kernel"),
-                                new_kernel_grad)
+            if "teacher_nets" in state.params:  # stacked_scales layout
+                cls = state.params["teacher_nets"]["classifier"]
+                kg = grads["teacher_nets"]["classifier"]["kernel"]
+                for i, suffix in enumerate(("10", "20")):
+                    f1 = aux["features"][f"feature1_tea{suffix}"]
+                    f2 = aux["features"][f"feature2_tea{suffix}"]
+                    kg = kg.at[i].set(modulate_kernel_grad(
+                        kg[i], f1, f2, cls["kernel"][i], cls["bias"][i],
+                        label))
+                grads = _set_in(grads, ("teacher_nets", "classifier", "kernel"),
+                                kg)
+            else:
+                for net in ("teacher10_net", "teacher20_net"):
+                    suffix = net[7:9]  # "10" / "20"
+                    f1 = aux["features"][f"feature1_tea{suffix}"]
+                    f2 = aux["features"][f"feature2_tea{suffix}"]
+                    cls = state.params[net]["classifier"]
+                    new_kernel_grad = modulate_kernel_grad(
+                        grads[net]["classifier"]["kernel"], f1, f2,
+                        cls["kernel"], cls["bias"], label)
+                    grads = _set_in(grads, (net, "classifier", "kernel"),
+                                    new_kernel_grad)
         elif gradient_modulate and mode == "deformpathomic":
             label = arrays["label"][:, label_col]
             cls = state.params["classifier"]

@@ -56,8 +56,25 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
     tx = make_optimizer(cfg, steps_per_epoch)
 
     mesh = None
+    pipe = False
     tp = int(getattr(cfg, "tp_devices", 0) or 0)
-    if tp > 1 and jax.device_count() >= tp:
+    if (int(getattr(cfg, "pipe_devices", 0) or 0) > 1
+            and jax.device_count() >= 2 and cfg.mode == "distillation"
+            and teacher_model is not None
+            and cfg.batch_size
+            % max(1, int(getattr(cfg, "pipe_microbatches", 1) or 1)) == 0):
+        # 2-D (data, stage) mesh: frozen teacher on stage 0, student fwd+bwd
+        # on stage 1, microbatches flowing through a KB-scale ppermute
+        # (parallel/pipe_shard.py); batch rows over the remaining devices
+        from ..parallel.pipe_shard import make_dp_stage_mesh
+        micro = max(1, int(getattr(cfg, "pipe_microbatches", 1) or 1))
+        dp = max(1, jax.device_count() // 2)
+        while dp > 1 and (cfg.batch_size % dp
+                          or (cfg.batch_size // dp) % micro):
+            dp //= 2
+        mesh = make_dp_stage_mesh(dp)
+        pipe = True
+    elif tp > 1 and jax.device_count() >= tp:
         # 2-D (data, model) mesh: attention heads sharded over 'model'
         # (parallel/tp_shard.py), batch rows over the remaining devices
         from ..parallel.tp_shard import engage_tp, make_dp_tp_mesh
@@ -66,6 +83,18 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
             dp //= 2
         engage_tp()
         mesh = make_dp_tp_mesh(dp, tp)
+    elif (int(getattr(cfg, "branch_devices", 0) or 0) > 1
+          and jax.device_count() >= 2
+          and cfg.mode in ("teacher", "uniteacher", "student", "multiscale")):
+        # 2-D (data, scale) mesh: the two magnification branches sharded over
+        # 'scale' (parallel/branch_shard.py; the factory stacked the model),
+        # batch rows over the remaining devices
+        from ..parallel.branch_shard import engage_branch, make_dp_scale_mesh
+        dp = max(1, jax.device_count() // 2)
+        while dp > 1 and cfg.batch_size % dp:
+            dp //= 2
+        engage_branch()
+        mesh = make_dp_scale_mesh(dp)
     elif jax.device_count() > 1:
         if cfg.batch_size % jax.device_count() == 0:
             mesh = get_mesh()
@@ -110,10 +139,20 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
         from ..parallel.tp_shard import shard_params_tp
 
         state = state.replace(params=shard_params_tp(state.params, mesh))
+    elif mesh is not None and "scale" in mesh.axis_names:
+        # scale-shard the stacked branch params (after any resume restore)
+        from ..parallel.branch_shard import shard_params_branch
+
+        state = state.replace(params=shard_params_branch(state.params, mesh))
 
     if evaluator is None:
         evaluator = Evaluator(model, cfg)
-    step_fn = make_train_step(model, cfg, tx, teacher_model)
+    if pipe:
+        from ..parallel.pipe_shard import make_pipe_distill_step
+
+        step_fn = make_pipe_distill_step(model, teacher_model, cfg, tx, mesh)
+    else:
+        step_fn = make_train_step(model, cfg, tx, teacher_model)
     train_step = jax.jit(step_fn, donate_argnums=(0,))
 
     # scan_steps > 1 fuses K train steps into ONE dispatch (lax.scan over

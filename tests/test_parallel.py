@@ -370,3 +370,214 @@ def test_dp_tp_2d_mesh_matches_unsharded(mode):
         total += diff.size
         loose += int((diff > 1e-5).sum())
     assert loose / total < 1e-3
+
+
+# ---- scale-branch parallelism (parallel/branch_shard.py) ----
+
+def _branch_setup(mode, batch=4, stacked=True):
+    cfg = Config(mode=mode, task_type="diag2021", label_dim=4, fixdim=64,
+                 batch_size=batch, checkpoints="#", debug=True,
+                 gradient_modulate=(mode in ("teacher", "uniteacher")),
+                 multiscale_attention=True,
+                 branch_devices=2 if stacked else 0).validate()
+    ds = SyntheticBagDataset(size=batch, fixdim=64, label_dim=4, seed=0,
+                             args=cfg)
+    b = next(iter(BagLoader(ds, batch, shuffle=False)))
+    tx = make_optimizer(cfg, 1)
+    model = define_net(cfg)
+    state = init_model_state(model, cfg, b, tx)
+    step = make_train_step(model, cfg, tx, None)
+    return cfg, model, tx, state, step, b
+
+
+@pytest.mark.parametrize("mode", ["teacher", "student", "multiscale"])
+def test_branch_stacked_matches_unstacked(mode):
+    """The stacked-scale formulation (one nn.vmap'd subtree with leading
+    axis 2) is numerically identical to the reference's two separate
+    per-magnification subnetworks, for every two-scale family, when fed the
+    unstacked model's own parameters through stack_scale_params."""
+    from disentangled_multimodal_learning_tpu.models.factory import model_inputs
+    from disentangled_multimodal_learning_tpu.parallel.branch_shard import (
+        stack_scale_params, unstack_scale_params)
+
+    cfg_u, model_u, _, state_u, _, b = _branch_setup(mode, stacked=False)
+    cfg_s, model_s, _, _, _, _ = _branch_setup(mode, stacked=True)
+    inputs = model_inputs(mode, b, train=False)
+
+    out_u = model_u.apply({"params": state_u.params}, **inputs,
+                          deterministic=True)
+    p_s = stack_scale_params(state_u.params)
+    out_s = model_s.apply({"params": p_s}, **inputs, deterministic=True)
+
+    # logits, hazards, S, risk dicts (positions 2-5) must all agree
+    for pos in (2, 3, 4, 5):
+        for k in out_u[pos]:
+            np.testing.assert_allclose(
+                np.asarray(out_u[pos][k]), np.asarray(out_s[pos][k]),
+                rtol=2e-5, atol=2e-5, err_msg=f"{mode} out[{pos}][{k}]")
+    # attention maps too (the consistency losses consume them)
+    for k in out_u[1]:
+        np.testing.assert_allclose(np.asarray(out_u[1][k]),
+                                   np.asarray(out_s[1][k]),
+                                   rtol=2e-5, atol=2e-5, err_msg=f"{mode} att {k}")
+
+    # converter roundtrip is exact
+    rt = unstack_scale_params(p_s)
+    fa = {str(p): l for p, l in
+          jax.tree_util.tree_leaves_with_path(state_u.params)}
+    fb = {str(p): l for p, l in jax.tree_util.tree_leaves_with_path(rt)}
+    assert fa.keys() == fb.keys()
+    for k in fa:
+        np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]))
+
+
+@pytest.mark.parametrize("mode", ["teacher", "multiscale"])
+def test_dp_branch_2d_mesh_matches_unsharded(mode):
+    """Composed data x scale-branch parallelism: the full train step on a 2-D
+    (data=4, scale=2) mesh — batch rows split over 'data', the two
+    magnification branches split over 'scale' — equals the same stacked step
+    unsharded.  Covers gradient modulation in the stacked layout (teacher)
+    and the joint teacher+student graph (multiscale)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from disentangled_multimodal_learning_tpu.parallel.branch_shard import (
+        make_dp_scale_mesh, shard_params_branch)
+
+    cfg, model, tx, state, step, batch = _branch_setup(mode, batch=4,
+                                                       stacked=True)
+    arrays = batch_to_arrays(batch)
+    rng = jax.random.PRNGKey(0)
+    s1, m1 = jax.jit(step)(state, arrays, rng, None)
+
+    mesh = make_dp_scale_mesh(4)
+    repl = NamedSharding(mesh, P())
+    state_b = state.replace(
+        params=shard_params_branch(state.params, mesh),
+        opt_state=jax.device_put(state.opt_state, repl),
+        step=jax.device_put(state.step, repl),
+        batch_stats=(jax.device_put(state.batch_stats, repl)
+                     if state.batch_stats is not None else None))
+    s2, m2 = jax.jit(step)(state_b, shard_batch(arrays, mesh), rng, None)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5, atol=1e-5)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    total = loose = 0
+    for a, b in zip(l1, l2):
+        diff = np.abs(np.asarray(a) - np.asarray(b))
+        assert diff.max() <= 2 * cfg.lr + 1e-6
+        total += diff.size
+        loose += int((diff > 1e-5).sum())
+    assert loose / total < 1e-3
+
+
+# ---- pipeline parallelism (parallel/pipe_shard.py) ----
+
+def test_pipe_micro_decomposition_exact_deterministic():
+    """The microbatch loss decomposition is EXACT: with deterministic
+    forwards, the sum of per-(data-shard, microbatch) contributions from
+    make_micro_fns equals the global-batch distillation loss computed
+    directly from the loss definitions (weighted CE normalized by the
+    global summed sample weights; KL/MSE by the global batch size)."""
+    from disentangled_multimodal_learning_tpu.parallel.pipe_shard import (
+        global_denominators, make_micro_fns)
+    from disentangled_multimodal_learning_tpu.train import losses as L
+    from disentangled_multimodal_learning_tpu.train.steps import (
+        TASK_LABEL_COL, _model_kwargs, task_class_weights)
+
+    cfg, model, tx, state, _, b, tvars = _setup("distillation", batch=8)
+    teacher_model = define_net(cfg)[1]
+    arrays = batch_to_arrays(b)
+    teacher_fwd, micro_loss = make_micro_fns(model, teacher_model, cfg)
+    denoms = global_denominators(cfg, arrays)
+
+    # direct global-batch reference from the loss definitions
+    cw = task_class_weights(cfg, cfg.task_type)
+    labels = arrays["label"][:, int(TASK_LABEL_COL[cfg.task_type])]
+    out = model.apply({"params": state.params},
+                      **_model_kwargs("student", arrays, True),
+                      deterministic=True)
+    fd_s, _, ld_s = out[0], out[1], out[2]
+    lt10, lt20, ft10, ft20 = teacher_fwd(tvars, arrays)
+    taskloss = (L.weighted_cross_entropy(ld_s["logits_stu10"], labels, cw)
+                + L.weighted_cross_entropy(ld_s["logits_stu20"], labels, cw))
+    dl = (L.distillation_loss(ld_s["logits_stu10"], lt10, cfg.temperature)
+          + L.distillation_loss(ld_s["logits_stu20"], lt20, cfg.temperature))
+    df = (L.feature_distillation_loss(fd_s["feature_stu10"], ft10)
+          + L.feature_distillation_loss(fd_s["feature_stu20"], ft20))
+    loss_ref = taskloss + 0.01 * dl + 0.01 * df
+
+    # sum of per-piece contributions over 2 data shards x 2 microbatches
+    dp, M = 2, 2
+    bloc = 8 // dp
+    total = 0.0
+    for s in range(dp):
+        shard = {k: v[s * bloc:(s + 1) * bloc] for k, v in arrays.items()}
+        for mi in range(M):
+            mb = bloc // M
+            micro = {k: v[mi * mb:(mi + 1) * mb] for k, v in shard.items()}
+            tea = teacher_fwd(tvars, micro)
+            piece, _ = micro_loss(state.params, micro, tea,
+                                  jax.random.PRNGKey(0), denoms,
+                                  deterministic=True)
+            total += float(piece)
+    np.testing.assert_allclose(total, float(loss_ref), rtol=2e-5, atol=2e-5)
+
+
+def test_pipe_distillation_matches_sequential_reference():
+    """The two-stage pipelined step (shard_map scan: lax.cond stage programs,
+    ppermute boundary handoff, grad accumulation, psum over (data, stage))
+    computes exactly what a sequential host loop over the same microbatch
+    programs with the same per-(microbatch, shard) rngs computes."""
+    import optax
+
+    from disentangled_multimodal_learning_tpu.parallel.pipe_shard import (
+        global_denominators, make_dp_stage_mesh, make_micro_fns,
+        make_pipe_distill_step)
+
+    cfg, model, tx, state, _, b, tvars = _setup("distillation", batch=8)
+    cfg.pipe_devices = 2
+    cfg.pipe_microbatches = 2
+    teacher_model = define_net(cfg)[1]
+    arrays = batch_to_arrays(b)
+    rng = jax.random.PRNGKey(3)
+
+    mesh = make_dp_stage_mesh(2)  # (data=2, stage=2)
+    pstep = make_pipe_distill_step(model, teacher_model, cfg, tx, mesh)
+    s_pipe, m_pipe = jax.jit(pstep)(state, shard_batch(arrays, mesh), rng,
+                                    tvars)
+
+    # sequential reference: same micro programs, same rng derivation
+    teacher_fwd, micro_loss = make_micro_fns(model, teacher_model, cfg)
+    denoms = global_denominators(cfg, arrays)
+    rngs = jax.random.split(rng, 2)
+    dp, M = 2, 2
+    bloc = 8 // dp
+    g_acc = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+    loss_acc = 0.0
+    for s in range(dp):
+        shard = {k: v[s * bloc:(s + 1) * bloc] for k, v in arrays.items()}
+        for mi in range(M):
+            mb = bloc // M
+            micro = {k: v[mi * mb:(mi + 1) * mb] for k, v in shard.items()}
+            tea = teacher_fwd(tvars, micro)
+            rng_t = jax.random.fold_in(rngs[mi], s)
+            (piece, _), g = jax.value_and_grad(micro_loss, has_aux=True)(
+                state.params, micro, tea, rng_t, denoms)
+            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+            loss_acc += float(piece)
+    updates, _ = tx.update(g_acc, state.opt_state, state.params)
+    ref_params = optax.apply_updates(state.params, updates)
+
+    np.testing.assert_allclose(float(m_pipe["loss"]), loss_acc,
+                               rtol=1e-5, atol=1e-5)
+    la = jax.tree_util.tree_leaves(ref_params)
+    lb = jax.tree_util.tree_leaves(s_pipe.params)
+    total = loose = 0
+    for x, y in zip(la, lb):
+        diff = np.abs(np.asarray(x) - np.asarray(y))
+        assert diff.max() <= 2 * cfg.lr + 1e-6
+        total += diff.size
+        loose += int((diff > 1e-5).sum())
+    assert loose / total < 1e-3
