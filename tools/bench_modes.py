@@ -21,7 +21,8 @@ HEAVY = {"teacher", "uniteacher", "student", "distillation", "multiscale",
 DEFAULT_MODES = [
     ("teacher", "diag2021"), ("uniteacher", "diag2021"),
     ("multiscale", "diag2021"), ("student", "diag2021"),
-    ("deformpathomic", "diag2021"), ("transmil", "diag2021"),
+    ("deformpathomic", "diag2021"), ("distillation", "diag2021"),
+    ("transmil", "diag2021"),
     ("path", "diag2021"), ("omic", "diag2021"), ("pathomic", "diag2021"),
     ("mcat", "survival"), ("cmta", "survival"),
 ]
@@ -53,10 +54,17 @@ def bench(mode, task, B=4, fixdim=2500):
                              seed=0, args=cfg)
     batch = next(iter(BagLoader(ds, B, shuffle=False)))
     arrays = batch_to_arrays(batch)
-    model = define_net(cfg)
     tx = make_optimizer(cfg, 100)
+    teacher_model = tvars = None
+    if mode == "distillation":  # frozen-teacher KD (reference :548-777)
+        model, teacher_model = define_net(cfg)
+        tstate = init_model_state(teacher_model, cfg, batch, tx,
+                                  mode="teacher")
+        tvars = {"params": tstate.params, "batch_stats": tstate.batch_stats}
+    else:
+        model = define_net(cfg)
     state = init_model_state(model, cfg, batch, tx)
-    step_fn = make_train_step(model, cfg, tx)
+    step_fn = make_train_step(model, cfg, tx, teacher_model)
 
     def fence(s):
         return float(jax.tree_util.tree_leaves(s.params)[0].sum())
@@ -66,7 +74,7 @@ def bench(mode, task, B=4, fixdim=2500):
         step = jax.jit(step_fn, donate_argnums=(0,))
         for _ in range(3):
             rng, k = jax.random.split(rng)
-            state, _ = step(state, arrays, k, None)
+            state, _ = step(state, arrays, k, tvars)
         fence(state)
         t0 = time.perf_counter()
         fence(state)
@@ -76,7 +84,7 @@ def bench(mode, task, B=4, fixdim=2500):
             t0 = time.perf_counter()
             for _ in range(SCAN):
                 rng, k = jax.random.split(rng)
-                state, _ = step(state, arrays, k, None)
+                state, _ = step(state, arrays, k, tvars)
             fence(state)
             dt = max(time.perf_counter() - t0 - rt, 1e-9)
             best = dt if best is None else min(best, dt)
@@ -86,7 +94,7 @@ def bench(mode, task, B=4, fixdim=2500):
             def body(carry, _):
                 st, key = carry
                 key, k2 = jax.random.split(key)
-                st, m = step_fn(st, arrays, k2, None)
+                st, m = step_fn(st, arrays, k2, tvars)
                 return (st, key), m["loss"]
             (state, _), losses = jax.lax.scan(body, (state, rng), None,
                                               length=SCAN)
