@@ -131,6 +131,13 @@ class Config:
     # the remaining devices form the 'data' axis (dp = device_count // 2)
     pipe_devices: int = 0
     pipe_microbatches: int = 2
+    # distillation: cache the frozen teacher's boundary tensors (~1 KB per
+    # sample) on device and replay them instead of recomputing the teacher
+    # forward every step — the teacher is deterministic so this is exact,
+    # and steady-state distillation runs at student-only speed
+    # (train/steps.py make_distill_cached_step).  Ignored under
+    # pipe_devices (the pipeline already overlaps the teacher).
+    distill_teacher_cache: bool = True
     checkpoints_student: str = "#"
     checkpoints_teacher: str = "#"
 

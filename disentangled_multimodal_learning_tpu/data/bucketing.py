@@ -128,4 +128,5 @@ class BucketedBagLoader:
         for b, sel, pad in plan:
             batch = self.dataset.batch(sel, pad_to=b)
             batch.pad = pad
+            batch.indices = sel  # stable per-sample keys (see loader.py)
             yield batch

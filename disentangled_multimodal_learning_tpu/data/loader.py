@@ -59,6 +59,8 @@ class BagLoader:
                 idx = np.concatenate([idx, np.repeat(idx[-1], pad)])
             batch = self.dataset.batch(idx)
             batch.pad = pad  # number of duplicated trailing samples
+            batch.indices = idx  # dataset rows (stable per-sample keys,
+            # e.g. for the distillation teacher-output cache)
             yield batch
 
 

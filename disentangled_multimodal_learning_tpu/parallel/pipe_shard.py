@@ -61,7 +61,8 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..train import losses as L
-from ..train.steps import TASK_LABEL_COL, _model_kwargs, task_class_weights
+from ..train.steps import (TASK_LABEL_COL, _model_kwargs,
+                           make_teacher_boundary_fn, task_class_weights)
 
 
 def make_dp_stage_mesh(dp: int) -> Mesh:
@@ -133,19 +134,7 @@ def make_micro_fns(model, teacher_model, cfg):
     distill_feature = bool(cfg.distill_feature)
     temperature = float(cfg.temperature)
 
-    def teacher_fwd(teacher_vars, micro):
-        variables = {"params": teacher_vars["params"]}
-        if teacher_vars.get("batch_stats") is not None:
-            variables["batch_stats"] = teacher_vars["batch_stats"]
-        out = teacher_model.apply(
-            variables, **_model_kwargs("teacher", micro, False),
-            deterministic=True)
-        fd, _, ld = out[0], out[1], out[2]
-        return (ld["logits_tea10"], ld["logits_tea20"],
-                jnp.concatenate([fd["feature1_tea10"], fd["feature2_tea10"]],
-                                axis=-1),
-                jnp.concatenate([fd["feature1_tea20"], fd["feature2_tea20"]],
-                                axis=-1))
+    teacher_fwd = make_teacher_boundary_fn(teacher_model)
 
     def student_micro_loss(params, micro, tea, rng, denoms,
                            deterministic=False):

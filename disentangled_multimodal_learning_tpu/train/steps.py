@@ -318,6 +318,97 @@ def make_train_step(model, cfg, tx: optax.GradientTransformation,
     return train_step
 
 
+def make_teacher_boundary_fn(teacher_model) -> Callable:
+    """Frozen-teacher forward returning exactly the boundary tensors the
+    distillation loss consumes (reference train_test.py:585-623): the two
+    ``[B, C]`` logit blocks and the two ``[B, 256]`` concatenated feature
+    blocks.  Shared by the teacher-output cache (trainers.py) and the
+    pipeline stage-0 program (parallel/pipe_shard.py)."""
+
+    def teacher_boundary(teacher_vars, arrays):
+        variables = {"params": teacher_vars["params"]}
+        if teacher_vars.get("batch_stats") is not None:
+            variables["batch_stats"] = teacher_vars["batch_stats"]
+        out = teacher_model.apply(
+            variables, **_model_kwargs("teacher", arrays, False),
+            deterministic=True)
+        fd, _, ld = out[0], out[1], out[2]
+        return (ld["logits_tea10"], ld["logits_tea20"],
+                jnp.concatenate([fd["feature1_tea10"], fd["feature2_tea10"]],
+                                axis=-1),
+                jnp.concatenate([fd["feature1_tea20"], fd["feature2_tea20"]],
+                                axis=-1))
+
+    return teacher_boundary
+
+
+def make_distill_cached_step(model, cfg, tx: optax.GradientTransformation) -> Callable:
+    """Distillation train step consuming PRECOMPUTED teacher boundary
+    tensors (``arrays['tea_lt10'/'tea_lt20'/'tea_ft10'/'tea_ft20']``)
+    instead of running the teacher forward.
+
+    The frozen teacher is deterministic, so its outputs for a given sample
+    never change across epochs — recomputing them every step (as the
+    reference does, train_test.py:585-588) spends a full teacher forward
+    per step for identical bits.  With the trainers.py teacher-output cache
+    each sample's boundary tensors (~1 KB) are computed once and replayed,
+    making steady-state distillation run at student-only speed.  The loss
+    math is identical to make_train_step's distillation branch."""
+    task = cfg.task_type
+    cw = task_class_weights(cfg, task)
+    multiscale_attention = bool(cfg.multiscale_attention)
+    distill_logits = bool(cfg.distill_logits)
+    distill_feature = bool(cfg.distill_feature)
+    temperature = float(cfg.temperature)
+
+    def loss_fn(params, batch_stats, arrays, rng):
+        label = arrays["label"]
+        out, new_bs = _apply(model, params, batch_stats, "student", arrays,
+                             rng, True)
+        fd_s, att_s, ld_s, hd_s, sd_s, _ = out
+        metrics = {}
+        taskloss = _task_loss_from_dicts(
+            task, label, ld_s, hd_s, sd_s, "logits_stu10", "logits_stu20", cw)
+        metrics["taskloss"] = taskloss
+        loss = taskloss
+        if distill_logits:
+            dl = (L.distillation_loss(ld_s["logits_stu10"],
+                                      arrays["tea_lt10"], temperature)
+                  + L.distillation_loss(ld_s["logits_stu20"],
+                                        arrays["tea_lt20"], temperature))
+            metrics["distillloss_logits"] = dl
+        if distill_feature:
+            df = (L.feature_distillation_loss(fd_s["feature_stu10"],
+                                              arrays["tea_ft10"])
+                  + L.feature_distillation_loss(fd_s["feature_stu20"],
+                                                arrays["tea_ft20"]))
+            metrics["distillloss_feature"] = df
+        # weighting exactly as reference train_test.py:635-642
+        if distill_logits and distill_feature:
+            loss = taskloss + 0.01 * dl + 0.01 * df
+        elif distill_logits:
+            loss = taskloss + dl
+        elif distill_feature:
+            loss = taskloss + df
+        if multiscale_attention:  # logging only (reference :627-632)
+            metrics["batchloss"] = L.path_batch_loss(
+                att_s["att_stu10"], att_s["att_stu20"])
+        metrics["loss"] = loss
+        return loss, (metrics, new_bs)
+
+    def train_step(state: TrainState, arrays: dict, rng, teacher_vars=None):
+        (_, (metrics, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, arrays,
+                                   rng)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=new_params, opt_state=new_opt_state,
+                                  batch_stats=new_bs, step=state.step + 1)
+        return new_state, metrics
+
+    return train_step
+
+
 def _set_in(tree: dict, path: tuple, value):
     """Immutable nested-dict update."""
     if len(path) == 1:

@@ -147,10 +147,27 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
 
     if evaluator is None:
         evaluator = Evaluator(model, cfg)
+    tcache = None
     if pipe:
         from ..parallel.pipe_shard import make_pipe_distill_step
 
         step_fn = make_pipe_distill_step(model, teacher_model, cfg, tx, mesh)
+    elif (mode == "distillation" and teacher_model is not None
+          and teacher_vars is not None
+          and bool(getattr(cfg, "distill_teacher_cache", True))):
+        # frozen-teacher output cache: compute each sample's boundary
+        # tensors once, replay from device memory afterwards — exact, and
+        # steady-state distillation runs at student-only speed
+        # (train/distill_cache.py)
+        from .distill_cache import TeacherBoundaryCache, loader_dataset_size
+        from .steps import make_distill_cached_step, make_teacher_boundary_fn
+
+        n_samples = loader_dataset_size(train_loader)
+        tcache = TeacherBoundaryCache(make_teacher_boundary_fn(teacher_model),
+                                      teacher_vars, n_samples or 0)
+        if n_samples is None:
+            tcache.n = 0  # unknown size: recompute-only (still exact)
+        step_fn = make_distill_cached_step(model, cfg, tx)
     else:
         step_fn = make_train_step(model, cfg, tx, teacher_model)
     train_step = jax.jit(step_fn, donate_argnums=(0,))
@@ -211,6 +228,9 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
         bufs: dict = {}
         for i, batch in enumerate(train_loader):
             arrays = batch_to_arrays(batch)
+            if tcache is not None:
+                arrays.update(tcache.boundary(
+                    arrays, getattr(batch, "indices", None)))
             if scan_k > 1:
                 shape_key = arrays["x_path10"].shape
                 buf = bufs.setdefault(shape_key, [])
