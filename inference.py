@@ -103,7 +103,20 @@ def main(gpu, args, wandb_logger=None, checkpoint: str | None = None):
                           if cfg.mode in ("teacher", "uniteacher")
                           else cfg.checkpoints_student)
     if ckpt and ckpt not in ("#", ""):
-        state = restore_state(state, ckpt)
+        if ckpt.endswith((".pth", ".pt")):
+            # reference-trained torch state_dict (reference
+            # train_test.py:325-340): import the weights directly
+            # (utils/torch_import.py) — no retraining to migrate
+            from disentangled_multimodal_learning_tpu.utils.torch_import import (
+                import_torch_checkpoint)
+
+            imp_mode = "student" if cfg.mode == "distillation" else cfg.mode
+            state = state.replace(params=import_torch_checkpoint(
+                ckpt, mode=imp_mode, attn_dim=getattr(cfg, "attn_dim", 2),
+                template=state.params))
+            print(f"[inference] imported reference torch checkpoint: {ckpt}")
+        else:
+            state = restore_state(state, ckpt)
     else:
         print("[inference] WARNING: no checkpoint given, evaluating random init")
 

@@ -272,3 +272,24 @@ def test_import_cli_roundtrip(tmp_path, monkeypatch, rng):
     want = ref.state_dict()["teacher10_net.classifier.weight"].numpy().T
     got = np.asarray(state.params["teacher10_net"]["classifier"]["kernel"])
     np.testing.assert_allclose(got, want, atol=0, rtol=0)
+
+
+def test_inference_cli_accepts_reference_pth(tmp_path, monkeypatch, rng):
+    """inference.py auto-detects a reference .pth checkpoint and imports it
+    (the zero-retraining migration path, end to end through the eval CLI)."""
+    mod = _load_ref_model_py()
+    ref = mod.TeachersNet(_ref_args())
+    pth = tmp_path / "fold_1_ref.pth"
+    torch.save(ref.state_dict(), str(pth))
+
+    import inference
+    from disentangled_multimodal_learning_tpu.config import load_config
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                   "config", "config_synthetic_smoke.yaml"))
+    cfg.eval_during_training = False
+    cfg.save4visualization = False
+    cfg.synthetic_test_size = 8
+    cfg.validate()
+    metrics = inference.main(0, cfg, checkpoint=str(pth))
+    assert np.isfinite(metrics["auc"])
