@@ -293,3 +293,79 @@ def test_inference_cli_accepts_reference_pth(tmp_path, monkeypatch, rng):
     cfg.validate()
     metrics = inference.main(0, cfg, checkpoint=str(pth))
     assert np.isfinite(metrics["auc"])
+
+
+# ------------------------------------------------- export (ours -> torch)
+
+def test_export_teachers_reproduces_in_reference(rng):
+    """export_torch_state_dict: OUR trained weights loaded into the live
+    reference TeachersNet (strict=False: only its dead members are absent)
+    produce OUR outputs — the hand-back path for torch-based tooling."""
+    from disentangled_multimodal_learning_tpu.models.teacher_student import (
+        TeachersNet)
+    from disentangled_multimodal_learning_tpu.utils.torch_export import (
+        export_torch_state_dict)
+
+    ours = TeachersNet(label_dim=4, input_size_omic_tumor=59,
+                       input_size_omic_immune=361, path_dim=128, omic_dim=128,
+                       dropout_rate=0.25, combination_type="max_confidence")
+    B, N = 2, 256
+    x10 = rng.normal(size=(B, N, 1024)).astype(np.float32)
+    x20 = rng.normal(size=(B, N, 1024)).astype(np.float32)
+    xt = rng.normal(size=(B, 59)).astype(np.float32)
+    xi = rng.normal(size=(B, 361)).astype(np.float32)
+    params = ours.init({"params": jax.random.PRNGKey(5)},
+                       jnp.asarray(x10), jnp.asarray(x20), jnp.asarray(xt),
+                       jnp.asarray(xi), deterministic=True)["params"]
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+          export_torch_state_dict(params, mode="teacher").items()}
+    mod = _load_ref_model_py()
+    ref = mod.TeachersNet(_ref_args())
+    missing, unexpected = ref.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected  # every exported key must land
+    ref.eval()
+
+    out_j = ours.apply({"params": params}, jnp.asarray(x10), jnp.asarray(x20),
+                       jnp.asarray(xt), jnp.asarray(xi), deterministic=True)
+    with torch.no_grad():
+        out_t = ref(torch.from_numpy(x10), torch.from_numpy(x20),
+                    torch.from_numpy(xt), torch.from_numpy(xi))
+    for dn, dj, dt in zip(["feature", "att", "logits", "hazards", "S", "risk"],
+                          out_j, out_t):
+        for k in dj:
+            np.testing.assert_allclose(
+                np.asarray(dj[k]), dt[k].numpy(), atol=1e-3, rtol=1e-2,
+                err_msg=f"exported TeachersNet {dn}[{k}]")
+
+
+@pytest.mark.parametrize("mode", ["teacher", "student", "deformpathomic",
+                                  "multiscale"])
+def test_export_import_roundtrip(mode, rng):
+    """export -> import is the identity on every leaf, for every mode."""
+    from disentangled_multimodal_learning_tpu.config import Config
+    from disentangled_multimodal_learning_tpu.data import (
+        BagLoader, SyntheticBagDataset)
+    from disentangled_multimodal_learning_tpu.models.factory import define_net
+    from disentangled_multimodal_learning_tpu.train.optim import make_optimizer
+    from disentangled_multimodal_learning_tpu.train.trainers import (
+        init_model_state)
+    from disentangled_multimodal_learning_tpu.utils.torch_export import (
+        export_torch_state_dict)
+
+    cfg = Config(mode=mode, task_type="diag2021", label_dim=4, fixdim=64,
+                 batch_size=2, checkpoints="#", debug=True).validate()
+    ds = SyntheticBagDataset(size=2, fixdim=64, label_dim=4, seed=0, args=cfg)
+    b = next(iter(BagLoader(ds, 2, shuffle=False)))
+    model = define_net(cfg)
+    state = init_model_state(model, cfg, b, make_optimizer(cfg, 1))
+
+    sd = export_torch_state_dict(state.params, mode=mode)
+    back = import_torch_checkpoint(sd, mode=mode, template=state.params)
+    fa = {str(p): l for p, l in
+          jax.tree_util.tree_leaves_with_path(state.params)}
+    fb = {str(p): l for p, l in jax.tree_util.tree_leaves_with_path(back)}
+    assert fa.keys() == fb.keys()
+    for k in fa:
+        np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]),
+                                      err_msg=k)
