@@ -24,11 +24,16 @@ hiddens never leave VMEM) -> 100 (compact 8-row kernel blocks killing the
 reshape(n,-1) relayouts) -> 151 bags/s (transposed "kn" attention layout +
 v7 CPB kernel: position diffs, log transform and the dgkv reduction all
 in-kernel, so the 92 MB/attention fx/fy streams and their relayouts vanish;
-sim/softmax/PV consume the kv-major bias with zero transposes).  Negative
-results are kept golden-tested in ops/pallas/deform_attn.py with notes on
-why their layouts lose (flat v2, wide4 block-diag, self-contained v5 with
-1-sublane blocks; bf16 streams and bf16 MXU operands also measured slower —
-the kernel is VPU/MXU-bound, not bandwidth-bound).
+sim/softmax/PV consume the kv-major bias with zero transposes) -> ~195
+bags/s (v9 table-interpolated CPB: the bias MLP is evaluated once per step
+on a half-query-spacing lattice — ~300k points instead of 11.5M — and each
+kv point's bias row becomes a bilinear blend of four aligned table windows;
+tools/exp_cpb_table_e2e.py: teacher 146->195, student 223->277,
+deformpathomic 320->442).  Negative results are kept golden-tested in
+ops/pallas/deform_attn.py with notes on why their layouts lose (flat v2,
+wide4 block-diag, self-contained v5 with 1-sublane blocks; bf16 streams and
+bf16 MXU operands also measured slower — the CPB kernel is VPU/MXU-bound,
+not bandwidth-bound).
 
 Roofline fields: ``bytes_per_step`` comes from XLA's compiled cost analysis
 (bytes accessed, all memory spaces), ``achieved_GBps`` divides it by the
@@ -74,10 +79,16 @@ def main():
         batch_to_arrays, make_train_step)
     from disentangled_multimodal_learning_tpu.train.trainers import init_model_state
 
+    # cpb_table_divisor=2: table-interpolated CPB bias (the production
+    # operating point, also set in the config/ presets).  Approximation
+    # error 2.7e-3 max on a 1.2 bias range — BELOW the 9e-3 the "exact"
+    # Pallas kernel itself deviates from true f32 via MXU f32-pass rounding
+    # (tools/exp_cpb_table.py) — with identical 200-step learnability
+    # (tools/tpu_train_check.py).  cpb_table_divisor=0 recovers exact CPB.
     cfg = Config(mode="teacher", task_type="diag2021", label_dim=4,
                  fixdim=FIXDIM, batch_size=BATCH, gradient_modulate=True,
                  multiscale_attention=True, remat=False, checkpoints="#",
-                 debug=True).validate()
+                 cpb_table_divisor=2, debug=True).validate()
     ds = SyntheticBagDataset(size=BATCH, fixdim=FIXDIM, label_dim=4, seed=0,
                              args=cfg)
     batch = BagLoader(ds, BATCH, shuffle=False).__iter__().__next__()

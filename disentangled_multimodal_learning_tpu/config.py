@@ -212,6 +212,13 @@ class Config:
     # attn_dim=1 only: bit-exact emulation of the reference's degenerate
     # pad-to-2D grid_sample (reference models/DeformableAttention1D.py:36-43)
     degenerate_1d_sampling: bool = False
+    # table-interpolated CPB bias (v9, APPROXIMATE): >0 evaluates the SwinV2
+    # CPB MLP once per step on a lattice of (query spacing / divisor) and
+    # bilinearly interpolates each kv point's bias window, instead of running
+    # the MLP at all Nq*Nk positions (the teacher's measured bottleneck,
+    # PERF.md).  0 = exact (default).  Divisor 4: bias error ~1e-3 of its
+    # dynamic range (tools/exp_cpb_table_acc.py).
+    cpb_table_divisor: int = 0
 
     # task
     task_type: str = "diag2021"

@@ -86,6 +86,15 @@ CPB_USE_PALLAS = True
 # "v5" = self-contained (position diffs, log transform and dgkv reduction all
 # in-kernel; see ops/pallas/deform_attn.py)
 CPB_KERNEL_VERSION = "v1"
+# table-interpolated CPB (v9, APPROXIMATE): >0 evaluates the CPB MLP once on
+# a lattice of spacing (query spacing / divisor) and bilinearly interpolates
+# each kv point's bias window instead of running the MLP at all Nq*Nk
+# positions.  0 = exact (default).  cfg.cpb_table_divisor sets this global
+# via the model factory; DeformCrossAttention2D.cpb_table_divisor overrides
+# per module.  Accuracy: tools/exp_cpb_table_acc.py (divisor 4: bias error
+# ~1e-3 of its dynamic range; post-softmax error ~1e-5 at init-scale
+# weights — below the accepted bf16 matmul noise).
+CPB_TABLE_DIVISOR = 0
 
 
 def resolve_attn_layout(layout: str) -> str:
@@ -143,6 +152,13 @@ class CPB(nn.Module):
     offset_groups: int
     depth: int = 2
     log_distance: bool = True
+    # table-interpolated approximation (v9): >0 enables with that lattice
+    # divisor; requires the caller to declare the static query-grid side and
+    # a static |grid_kv| bound (the deformable offsets are tanh-bounded, so
+    # DeformCrossAttention2D derives it exactly)
+    table_divisor: int = 0
+    table_side: int = 0
+    table_kv_bound: float = 0.0
 
     @nn.compact
     def __call__(self, grid_q: jnp.ndarray, grid_kv: jnp.ndarray, *,
@@ -163,6 +179,25 @@ class CPB(nn.Module):
         b2 = self.param("mlp_1_bias", zeros, (self.dim,))
         w3 = self.param("mlp_out_kernel", lecun, (self.dim, out_per_group))
         b3 = self.param("mlp_out_bias", zeros, (out_per_group,))
+
+        # table-interpolated approximation (v9) — opt-in, kv-major output
+        # straight into the "kn" layout; Pallas kernel on TPU, identical-
+        # arithmetic jnp interpolation elsewhere
+        use_table = (self.table_divisor > 0 and transposed and P == 2
+                     and out_per_group == 1 and self.depth == 2
+                     and self.log_distance and self.table_side >= 2
+                     and self.table_side ** 2 == grid_q.shape[0])
+        if use_table:
+            from ..ops.pallas.deform_attn import cpb_bias_table
+
+            gkv = (grid_kv.reshape(-1, *grid_kv.shape[-2:])
+                   if grid_kv.ndim == 4 else grid_kv)
+            bias_t = cpb_bias_table(
+                gkv, w1, b1, w2, b2, w3, b3, side=self.table_side,
+                divisor=self.table_divisor, kv_bound=self.table_kv_bound,
+                use_kernel=jax.default_backend() == "tpu")
+            nk, nq = bias_t.shape[-2], bias_t.shape[-1]
+            return bias_t.reshape(b, self.heads, nk, nq)
 
         # the Pallas kernel hardcodes the sign*log1p distance transform
         # (ops/pallas/deform_attn.py), so log_distance=False must take the
@@ -310,6 +345,9 @@ class DeformCrossAttention2D(nn.Module):
     # consistency losses contract over all trailing axes and are layout-
     # independent; reduce over kv via attn_kv_axis() in other consumers.
     attn_layout: str = "auto"
+    # table-interpolated CPB (approximate, see CPB_TABLE_DIVISOR): -1 = use
+    # the module-level global (set from cfg.cpb_table_divisor); 0 = exact
+    cpb_table_divisor: int = -1
 
     @nn.compact
     def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, *, return_vgrid: bool = False,
@@ -375,7 +413,15 @@ class DeformCrossAttention2D(nn.Module):
 
         grid_full = create_grid_2d(side, side, dtype=x1.dtype)
         grid_q = normalize_grid_2d(grid_full).reshape(N, 2)
+        tbl_div = (CPB_TABLE_DIVISOR if self.cpb_table_divisor < 0
+                   else self.cpb_table_divisor)
+        # |vgrid_scaled| <= 1 + 2*offset_scale/(g-1): tanh bounds the offsets
+        # in small-grid units, normalize_grid_2d divides by (g-1) per axis
+        tbl_bound = (1.0 + 2.0 * self.offset_scale / (min(gh, gw) - 1)
+                     if min(gh, gw) > 1 else 0.0)
         cpb = CPB(self.dim // 4, heads=H, offset_groups=G, depth=2,
+                  table_divisor=(tbl_div if min(gh, gw) > 1 else 0),
+                  table_side=side, table_kv_bound=tbl_bound,
                   name="rel_pos_bias")
         if layout == "kn":
             # transposed layout: i = query, j = kv; sim/softmax/PV in

@@ -23,6 +23,9 @@ def define_net(args):
     from . import deform_attention as _da
 
     _da.CPB_REMAT = bool(getattr(args, "remat", True))
+    # table-interpolated CPB (approximate; 0 = exact).  Module-level knob:
+    # the deformable attentions are built deep inside the model classes.
+    _da.CPB_TABLE_DIVISOR = int(getattr(args, "cpb_table_divisor", 0))
     mode = args.mode
     common = dict(label_dim=args.label_dim)
     if mode == "path":

@@ -1935,3 +1935,314 @@ def _kn_vjp_bwd(dropout_rate, interpret, res, gouts):
 
 
 fused_deform_attention_kn.defvjp(_kn_vjp_fwd, _kn_vjp_bwd)
+
+
+# ===========================================================================
+# Table-interpolated CPB (v9: lattice + bilinear window — approximate)
+# ===========================================================================
+# The CPB bias MLP is evaluated at BH*K*N relative positions per attention
+# (11.5M at production shapes) — the teacher's measured bottleneck at ~55%
+# of the practical f32 matmul rate (PERF.md).  But the QUERY positions are a
+# fixed uniform grid (deform_attention.py:376-377): for one kv point p, the
+# bias row over all N queries is the smooth scalar field
+#     T(d) = MLP(sign(d) * log1p|d|),   d = q - p,
+# sampled on a uniform lattice whose fractional shift is the only thing
+# that depends on p.  So: evaluate T ONCE per step on a lattice of spacing
+# (query spacing / divisor) — ~300k points instead of 11.5M — and produce
+# each bias row as a bilinear blend of four lattice windows.  Because the
+# query spacing is an integer multiple (the divisor) of the lattice spacing,
+# the bilinear weights are PER-ROW SCALARS and the four taps are contiguous
+# windows of the phase-decomposed table: no per-element gathers anywhere.
+#
+# Accuracy (tools/exp_cpb_table_acc.py, production geometry, random CPB
+# weights at 1-2x init scale): divisor 4 gives max bias error ~1.4e-3 of
+# the bias dynamic range and post-softmax attention-probability error
+# ~1e-5..8e-4 — below the bf16 noise already accepted in the attention
+# matmuls.  Exact CPB stays the default; this is opt-in via
+# cfg.cpb_table_divisor (see models/deform_attention.py).
+#
+# Decomposition:
+#   - table build + phase reshape + shift computation: plain XLA,
+#     differentiable (MLP-weight and grid_kv gradients flow through it);
+#   - `_table_interp(tablep, shifts)`: the Pallas kernel (custom VJP).
+# The kernel's backward scatters the window cotangents back into a table
+# cotangent (sequential-grid accumulation, like the v7 weight grads) and
+# emits per-row shift cotangents via the bilinear weight derivatives.
+
+_TBL_ROWS = 8  # (bh, k) rows per grid step; f32 sublane tile
+
+
+def _tbl_win_rows(side):
+    """Aligned sublane window: Mosaic only allows dynamic sublane-slice
+    starts that are multiples of 8, so windows load 8-aligned and rotate
+    by the residue.  No wrap contamination: residue + side <= window."""
+    return _round_up(side + 8, 8)
+
+
+def _tbl_read(tab_ref, b, side):
+    """rows [b, b+side) of tab_ref via an 8-aligned load + sublane roll."""
+    win = _tbl_win_rows(side)
+    b0 = (b // 8) * 8
+    rem = b - b0
+    t = tab_ref[pl.ds(b0, win), :]
+    return pltpu.roll(t, win - rem, axis=0)[:side, :]
+
+
+def _tbl_sum2d(x):
+    """Full [S, L] -> [1, 1] sum (ones-matmul over sublanes, lane reduce)."""
+    r = jax.lax.dot_general(jnp.ones((1, x.shape[0]), jnp.float32), x,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return jnp.sum(r, axis=1, keepdims=True)
+
+
+def _tbl_fwd_kernel(idx_ref, frac_ref, tab_ref, out_ref):
+    side = out_ref.shape[1]
+    cn = tab_ref.shape[1]
+    for g in range(_TBL_ROWS):
+        b00 = idx_ref[g, 0]
+        b10 = idx_ref[g, 1]
+        b01 = idx_ref[g, 2]
+        b11 = idx_ref[g, 3]
+        ox0 = idx_ref[g, 4]
+        ox1 = idx_ref[g, 5]
+        fy = frac_ref[g, 0]
+        fx = frac_ref[g, 1]
+        ty0 = (_tbl_read(tab_ref, b00, side) * (1.0 - fy)
+               + _tbl_read(tab_ref, b10, side) * fy)
+        ty1 = (_tbl_read(tab_ref, b01, side) * (1.0 - fy)
+               + _tbl_read(tab_ref, b11, side) * fy)
+        a = pltpu.roll(ty0, cn - ox0, axis=1)[:, :side]
+        b = pltpu.roll(ty1, cn - ox1, axis=1)[:, :side]
+        out_ref[g] = a * (1.0 - fx) + b * fx
+
+
+def _tbl_bwd_kernel(idx_ref, frac_ref, tab_ref, db_ref, dtab_ref, dsh_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dtab_ref[...] = jnp.zeros_like(dtab_ref)
+
+    side = db_ref.shape[1]
+    cn = tab_ref.shape[1]
+    dsh_rows = []
+    for g in range(_TBL_ROWS):
+        b00 = idx_ref[g, 0]
+        b10 = idx_ref[g, 1]
+        b01 = idx_ref[g, 2]
+        b11 = idx_ref[g, 3]
+        ox0 = idx_ref[g, 4]
+        ox1 = idx_ref[g, 5]
+        fy = frac_ref[g, 0]
+        fx = frac_ref[g, 1]
+        dw = db_ref[g]                                     # [side, side]
+        a0 = pltpu.roll(_tbl_read(tab_ref, b00, side), cn - ox0,
+                        axis=1)[:, :side]
+        a1 = pltpu.roll(_tbl_read(tab_ref, b10, side), cn - ox0,
+                        axis=1)[:, :side]
+        b0 = pltpu.roll(_tbl_read(tab_ref, b01, side), cn - ox1,
+                        axis=1)[:, :side]
+        b1 = pltpu.roll(_tbl_read(tab_ref, b11, side), cn - ox1,
+                        axis=1)[:, :side]
+        av = a0 * (1.0 - fy) + a1 * fy
+        bv = b0 * (1.0 - fy) + b1 * fy
+        dfy = _tbl_sum2d(dw * ((a1 - a0) * (1.0 - fx) + (b1 - b0) * fx))
+        dfx = _tbl_sum2d(dw * (bv - av))
+        dsh_rows.append(jnp.concatenate([dfy, dfx], axis=1))  # [1, 2]
+        win = _tbl_win_rows(side)
+        dwpad = jnp.pad(dw, ((0, win - side), (0, cn - side)))
+        s0 = pltpu.roll(dwpad, ox0, axis=1)
+        s1 = pltpu.roll(dwpad, ox1, axis=1)
+
+        # four 8-aligned read-modify-writes (scatter rows rolled DOWN by the
+        # alignment residue); in-order ref accesses keep overlapping windows
+        # (divisor 1) correct
+        def _acc(b, s, coeff):
+            b0_ = (b // 8) * 8
+            rem = b - b0_
+            cur = dtab_ref[pl.ds(b0_, win), :]
+            dtab_ref[pl.ds(b0_, win), :] = (
+                cur + pltpu.roll(s, rem, axis=0) * coeff)
+
+        _acc(b00, s0, (1.0 - fy) * (1.0 - fx))
+        _acc(b10, s0, fy * (1.0 - fx))
+        _acc(b01, s1, (1.0 - fy) * fx)
+        _acc(b11, s1, fy * fx)
+    dsh_ref[...] = jnp.concatenate(dsh_rows, axis=0)       # [_TBL_ROWS, 2]
+
+
+def _tbl_idx(shifts, side, divisor, rn):
+    """Continuous (ty, tx) [R, 2] -> int taps [R, 6] + fracs [R, 2].
+
+    Full-lattice index iy decomposes as (phase iy % d, row iy // d); the
+    window's stride-d rows are then CONTIGUOUS rows of phase-block
+    (py*d + px)*rn + oy of the phase-decomposed table."""
+    d = divisor
+    hi = (rn - side) * d + d - 2       # keep oy + side <= rn for iy and iy+1
+    i0 = jnp.clip(jnp.floor(shifts), 0.0, float(hi))
+    frac = (shifts - i0).astype(jnp.float32)
+    i0 = i0.astype(jnp.int32)
+    i1 = i0 + 1
+    py0, oy0 = i0[:, 0] % d, i0[:, 0] // d
+    py1, oy1 = i1[:, 0] % d, i1[:, 0] // d
+    px0, ox0 = i0[:, 1] % d, i0[:, 1] // d
+    px1, ox1 = i1[:, 1] % d, i1[:, 1] // d
+    idx = jnp.stack([
+        (py0 * d + px0) * rn + oy0,
+        (py1 * d + px0) * rn + oy1,
+        (py0 * d + px1) * rn + oy0,
+        (py1 * d + px1) * rn + oy1,
+        ox0, ox1], axis=1).astype(jnp.int32)
+    return idx, frac
+
+
+def _tbl_interp_ref(tablep, shifts, side, divisor, rn):
+    """jnp reference of the interpolation (CPU path + kernel golden)."""
+    idx, frac = _tbl_idx(shifts, side, divisor, rn)
+
+    def one(ivec, fvec):
+        def win(b, ox):
+            t = jax.lax.dynamic_slice(tablep, (b, 0), (side,
+                                                       tablep.shape[1]))
+            return jnp.roll(t, -ox, axis=1)[:, :side]
+
+        fy, fx = fvec[0], fvec[1]
+        a = win(ivec[0], ivec[4]) * (1 - fy) + win(ivec[1], ivec[4]) * fy
+        b = win(ivec[2], ivec[5]) * (1 - fy) + win(ivec[3], ivec[5]) * fy
+        return a * (1 - fx) + b * fx
+
+    return jax.vmap(one)(idx, frac)
+
+
+def _tbl_interp_call(tablep, shifts, side, divisor, rn, interpret):
+    r = shifts.shape[0]
+    r_pad = _round_up(r, _TBL_ROWS)
+    idx, frac = _tbl_idx(shifts, side, divisor, rn)
+    idx = _pad_n(idx, r_pad, axis=0)
+    frac = _pad_n(frac, r_pad, axis=0)
+    out = pl.pallas_call(
+        _tbl_fwd_kernel,
+        grid=(r_pad // _TBL_ROWS,),
+        in_specs=[
+            pl.BlockSpec((_TBL_ROWS, 6), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((_TBL_ROWS, 2), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TBL_ROWS, side, side), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((r_pad, side, side), jnp.float32),
+        interpret=interpret,
+    )(idx, frac, tablep)
+    return out[:r]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _table_interp(tablep, shifts, side, divisor, rn, interpret=False):
+    """Bilinear window interpolation: phase-decomposed table
+    ``[d*d*rn + pad, cn]`` + per-row continuous lattice shifts ``[R, 2]``
+    (ty, tx) -> bias windows ``[R, side, side]``.  Differentiable wrt
+    both."""
+    return _tbl_interp_call(tablep, shifts, side, divisor, rn, interpret)
+
+
+def _tbl_vjp_fwd(tablep, shifts, side, divisor, rn, interpret):
+    out = _tbl_interp_call(tablep, shifts, side, divisor, rn, interpret)
+    return out, (tablep, shifts)
+
+
+def _tbl_vjp_bwd(side, divisor, rn, interpret, res, dout):
+    tablep, shifts = res
+    r = shifts.shape[0]
+    r_pad = _round_up(r, _TBL_ROWS)
+    idx, frac = _tbl_idx(shifts, side, divisor, rn)
+    idx = _pad_n(idx, r_pad, axis=0)
+    frac = _pad_n(frac, r_pad, axis=0)
+    db = _pad_n(dout, r_pad, axis=0)                       # zero pad rows
+    dtab, dsh = pl.pallas_call(
+        _tbl_bwd_kernel,
+        grid=(r_pad // _TBL_ROWS,),
+        in_specs=[
+            pl.BlockSpec((_TBL_ROWS, 6), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((_TBL_ROWS, 2), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TBL_ROWS, side, side), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TBL_ROWS, 2), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(tablep.shape, jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, 2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(idx, frac, tablep, db)
+    # clip saturates out-of-range rows: their shift cotangent is dropped
+    # (matches the reference impl's stop-gradient-through-floor semantics
+    # only up to the clip boundary; in-range rows are exact)
+    return dtab, dsh[:r]
+
+
+_table_interp.defvjp(_tbl_vjp_fwd, _tbl_vjp_bwd)
+
+
+def _tbl_consts(side, divisor, kv_bound):
+    """Lattice geometry: spacing h, origin t0, per-phase rows rn, total Tn."""
+    s = 2.0 / (side - 1)
+    h = s / divisor
+    max_abs = 1.0 + kv_bound                   # |q - p| bound
+    n_lo = int(-(-max_abs // h)) + 2           # ceil + 2 cells margin
+    tn = 2 * n_lo + 1
+    rn = -(-tn // divisor)
+    tn = rn * divisor
+    t0 = -n_lo * h
+    return h, t0, rn, tn
+
+
+def cpb_bias_table(grid_kv, w1, b1, w2, b2, w3, b3, *, side, divisor,
+                   kv_bound, interpret=False, use_kernel=None):
+    """Approximate CPB bias on the standard normalized query grid
+    (``create_grid_2d(side, side)`` normalized to [-1, 1], x fast axis):
+    ``grid_kv`` [BH, K, 2] -> bias [BH, K, side*side] (kv-major, like
+    :func:`cpb_bias_transposed`).  ``kv_bound`` is a static bound on
+    ``|grid_kv|`` (the deformable offsets are tanh-bounded, so the caller
+    can derive it exactly).  Single output channel (w3 [HID, 1]) only.
+
+    Everything except the window interpolation is plain differentiable
+    XLA, so MLP-weight and grid_kv gradients flow through the table and
+    the shift computation respectively."""
+    assert w3.shape[1] == 1, "table CPB supports one output channel"
+    bh, k, _ = grid_kv.shape
+    h, t0, rn, tn = _tbl_consts(side, divisor, kv_bound)
+    lattice = t0 + h * jnp.arange(tn, dtype=jnp.float32)
+    f = jnp.sign(lattice) * jnp.log1p(jnp.abs(lattice))
+    # T_full[a, b] = MLP(fx=f[b], fy=f[a])  (rows = dy, cols = dx).
+    # Full-f32 matmuls: the table is tiny (~300k points) but every bias
+    # value interpolates from it, so TPU default (bf16-pass) precision
+    # would put a ~1e-2 error floor under the whole approximation.
+    dot = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+    hid = jnp.maximum(f[None, :, None] * w1[0] + f[:, None, None] * w1[1]
+                      + b1, 0.0)
+    hid = jnp.maximum(dot(hid, w2) + b2, 0.0)
+    t_full = (dot(hid, w3) + b3)[..., 0]                   # [tn, tn]
+    tablep = t_full.reshape(rn, divisor, rn, divisor)
+    tablep = tablep.transpose(1, 3, 0, 2).reshape(divisor * divisor * rn, rn)
+    cn = _round_up(rn, 128)
+    # row pad: headroom for the kernel's 8-aligned sublane window loads
+    tablep = jnp.pad(tablep, ((0, _tbl_win_rows(side)), (0, cn - rn)))
+    # shifts in lattice units: first query coord is -1 on both axes
+    ty = (-1.0 - grid_kv[..., 1] - t0) / h
+    tx = (-1.0 - grid_kv[..., 0] - t0) / h
+    shifts = jnp.stack([ty, tx], axis=-1).reshape(bh * k, 2)
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    if use_kernel:
+        wins = _table_interp(tablep, shifts, side, divisor, rn, interpret)
+    else:
+        wins = _tbl_interp_ref(tablep, shifts, side, divisor, rn)
+    return wins.reshape(bh, k, side * side)

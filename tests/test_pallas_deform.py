@@ -424,3 +424,133 @@ def test_attn1d_layout_kn_matches_nk(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
                                    rtol=1e-3,
                                    err_msg=jax.tree_util.keystr(path))
+
+
+# ---------------------------------------------------------------------------
+# v9: table-interpolated CPB (approximate; opt-in via cfg.cpb_table_divisor)
+# ---------------------------------------------------------------------------
+
+def _std_grid(side):
+    lin = 2.0 * np.arange(side) / (side - 1) - 1.0
+    gx, gy = np.meshgrid(lin, lin)
+    return jnp.asarray(np.stack([gx.reshape(-1), gy.reshape(-1)], -1),
+                       jnp.float32)
+
+
+def _cpb_params(rng, scale=1.0):
+    return (jnp.asarray(rng.normal(size=(2, HID)) / np.sqrt(2) * scale,
+                        jnp.float32),
+            jnp.zeros(HID, jnp.float32),
+            jnp.asarray(rng.normal(size=(HID, HID)) / np.sqrt(HID) * scale,
+                        jnp.float32),
+            jnp.zeros(HID, jnp.float32),
+            jnp.asarray(rng.normal(size=(HID, 1)) / np.sqrt(HID) * scale,
+                        jnp.float32),
+            jnp.zeros(1, jnp.float32))
+
+
+def test_cpb_table_kernel_matches_jnp_interp(rng):
+    """interpret-mode kernel == the jnp reference of the SAME approximation
+    (fwd to f32 precision), for divisor 1 (overlapping scatter windows in
+    the bwd) and 4 (phase decomposition)."""
+    from disentangled_multimodal_learning_tpu.ops.pallas.deform_attn import (
+        cpb_bias_table)
+
+    side, K, BH = 12, 10, 3
+    kv_bound = 1.4
+    gkv = jnp.asarray(rng.uniform(-kv_bound, kv_bound, size=(BH, K, 2)),
+                      jnp.float32)
+    params = _cpb_params(rng)
+    for div in (1, 4):
+        ref = cpb_bias_table(gkv, *params, side=side, divisor=div,
+                             kv_bound=kv_bound, use_kernel=False)
+        kern = cpb_bias_table(gkv, *params, side=side, divisor=div,
+                              kv_bound=kv_bound, use_kernel=True,
+                              interpret=True)
+        np.testing.assert_allclose(np.asarray(kern), np.asarray(ref),
+                                   atol=2e-6, rtol=1e-5)
+
+
+def test_cpb_table_kernel_grads_match_jnp_interp(rng):
+    """custom-VJP kernel gradients (table scatter + shift cotangents, then
+    chained through the XLA table build) == autodiff of the jnp reference,
+    for params AND grid_kv."""
+    from disentangled_multimodal_learning_tpu.ops.pallas.deform_attn import (
+        cpb_bias_table)
+
+    side, K, BH = 10, 6, 2
+    kv_bound = 1.3
+    gkv = jnp.asarray(rng.uniform(-kv_bound, kv_bound, size=(BH, K, 2)),
+                      jnp.float32)
+    params = _cpb_params(rng)
+
+    def loss(use_kernel):
+        def f(gkv_, w1, b1, w2, b2, w3, b3):
+            b = cpb_bias_table(gkv_, w1, b1, w2, b2, w3, b3, side=side,
+                               divisor=2, kv_bound=kv_bound,
+                               use_kernel=use_kernel, interpret=use_kernel)
+            return jnp.sum(jnp.sin(3.0 * b))
+        return f
+
+    gk = jax.grad(loss(True), argnums=(0, 1, 2, 3, 4, 5, 6))(gkv, *params)
+    gr = jax.grad(loss(False), argnums=(0, 1, 2, 3, 4, 5, 6))(gkv, *params)
+    for a, b in zip(gk, gr):
+        scale = max(float(jnp.abs(b).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=3e-5)
+
+
+def test_cpb_table_approximates_exact_bias(rng):
+    """The table bias converges to the exact CPB MLP bias as the divisor
+    grows, and is already close at divisor 4 (the production opt-in)."""
+    from disentangled_multimodal_learning_tpu.ops.pallas.deform_attn import (
+        cpb_bias_table)
+
+    side, K, BH = 14, 12, 3
+    kv_bound = 1.0 + 8.0 / 11.0      # production bound (gh=12, scale=4)
+    gq = _std_grid(side)
+    gkv = jnp.asarray(rng.uniform(-kv_bound, kv_bound, size=(BH, K, 2)),
+                      jnp.float32)
+    w1, b1, w2, b2, w3, b3 = _cpb_params(rng)
+    d = gq[None, None, :, :] - gkv[:, :, None, :]
+    p = jnp.sign(d) * jnp.log1p(jnp.abs(d))
+    h = jnp.maximum(p @ w1 + b1, 0.0)
+    h = jnp.maximum(h @ w2 + b2, 0.0)
+    exact = (h @ w3 + b3)[..., 0]
+    ptp = float(exact.max() - exact.min())
+    prev = None
+    for div in (1, 2, 4):
+        approx = cpb_bias_table(gkv, w1, b1, w2, b2, w3, b3, side=side,
+                                divisor=div, kv_bound=kv_bound,
+                                use_kernel=False)
+        err = float(jnp.abs(approx - exact).max())
+        assert err < 0.05 * ptp, (div, err, ptp)
+        if prev is not None:
+            assert err < prev * 0.75, "finer lattice must reduce error"
+        prev = err
+    assert prev < 0.01 * ptp  # divisor 4: <1% of the bias dynamic range
+
+
+def test_cpb_table_through_attention_module(rng):
+    """DeformCrossAttention2D with cpb_table_divisor=4 stays close to the
+    exact path (outputs + attention maps), CPU jnp paths end to end."""
+    from disentangled_multimodal_learning_tpu.models.deform_attention import (
+        DeformCrossAttention2D)
+
+    B, N, C = 2, 64, 32
+    x1 = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    # "kn" forced so the transposed CPB call (the table's gate) runs on CPU
+    kw = dict(dim=C, dim_head=8, heads=4, offset_groups=4, dropout=0.0,
+              downsample_factor=2, offset_scale=2.0, offset_kernel_size=4,
+              attn_layout="kn")
+    exact = DeformCrossAttention2D(**kw)
+    table = DeformCrossAttention2D(**kw, cpb_table_divisor=4)
+    variables = exact.init(jax.random.PRNGKey(0), x1, x2, deterministic=True)
+    o1, a1 = exact.apply(variables, x1, x2, deterministic=True)
+    o2, a2 = table.apply(variables, x1, x2, deterministic=True)
+    assert not np.array_equal(np.asarray(a1), np.asarray(a2)), \
+        "table path did not engage"
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               atol=5e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=5e-3)

@@ -30,12 +30,13 @@ B, FIX = 4, 2500
 FLAGSHIPS = ["teacher", "student", "deformpathomic", "multiscale"]
 
 
-def check(mode: str) -> float:
+def check(mode: str, overrides=None) -> float:
     kw = dict(mode=mode, task_type="diag2021", label_dim=4, fixdim=FIX,
               batch_size=B, remat=False, checkpoints="#", debug=True, lr=2e-4,
               multiscale_attention=True)
     if mode in ("teacher", "deformpathomic"):
         kw.update(gradient_modulate=True)
+    kw.update(overrides or {})
     cfg = Config(**kw).validate()
     ds = SyntheticBagDataset(size=32, fixdim=FIX, label_dim=4, seed=0,
                              args=cfg)
@@ -85,10 +86,22 @@ def check(mode: str) -> float:
 
 
 if __name__ == "__main__":
-    picks = sys.argv[1:] or ["teacher"]
+    # trailing key=value tokens become Config overrides (ints when they parse)
+    picks, overrides = [], {}
+    for tok in sys.argv[1:]:
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            try:
+                v = int(v)
+            except ValueError:
+                pass
+            overrides[k] = v
+        else:
+            picks.append(tok)
+    picks = picks or ["teacher"]
     if picks == ["all"]:
         picks = FLAGSHIPS
-    drops = {m: check(m) for m in picks}
+    drops = {m: check(m, overrides) for m in picks}
     for m, d in drops.items():
         print(f"{m:16s} {d:5.1f}% loss drop")
     print("LEARNS OK")
