@@ -203,11 +203,15 @@ def micro():
 
     orig_call = DA.CPB.__call__
 
-    def zero_cpb(self, grid_q, grid_kv):
-        bg = grid_kv.shape[0]
-        b = bg // self.offset_groups
-        return jnp.zeros((b, self.heads, grid_q.shape[0], grid_kv.shape[1]),
-                         jnp.float32)
+    def zero_cpb(self, grid_q, grid_kv, *, transposed=False):
+        if grid_kv.ndim == 4:          # unfused [B, G, Nk, P]
+            b, nk = grid_kv.shape[0], grid_kv.shape[2]
+        else:                          # fused [B*G, Nk, P]
+            b, nk = grid_kv.shape[0] // self.offset_groups, grid_kv.shape[1]
+        nq = grid_q.shape[0]
+        if transposed:
+            nq, nk = nk, nq
+        return jnp.zeros((b, self.heads, nq, nk), jnp.float32)
 
     DA.CPB.__call__ = zero_cpb
 
