@@ -554,3 +554,24 @@ def test_cpb_table_through_attention_module(rng):
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
                                atol=5e-3, rtol=1e-2)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=5e-3)
+
+
+def test_cpb_table_divisor_threads_from_config():
+    """cfg.cpb_table_divisor reaches the deformable attentions via the
+    factory's module-level knob (the production presets set 2)."""
+    from disentangled_multimodal_learning_tpu.config import Config
+    from disentangled_multimodal_learning_tpu.models import (
+        deform_attention as da)
+    from disentangled_multimodal_learning_tpu.models.factory import define_net
+
+    old = da.CPB_TABLE_DIVISOR
+    try:
+        cfg = Config(mode="teacher", fixdim=64, batch_size=1,
+                     cpb_table_divisor=2).validate()
+        define_net(cfg)
+        assert da.CPB_TABLE_DIVISOR == 2
+        cfg = Config(mode="teacher", fixdim=64, batch_size=1).validate()
+        define_net(cfg)
+        assert da.CPB_TABLE_DIVISOR == 0  # default stays exact
+    finally:
+        da.CPB_TABLE_DIVISOR = old
