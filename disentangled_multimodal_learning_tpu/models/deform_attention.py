@@ -153,9 +153,12 @@ class CPB(nn.Module):
     depth: int = 2
     log_distance: bool = True
     # table-interpolated approximation (v9): >0 enables with that lattice
-    # divisor; requires the caller to declare the static query-grid side and
-    # a static |grid_kv| bound (the deformable offsets are tanh-bounded, so
-    # DeformCrossAttention2D derives it exactly)
+    # divisor; requires the caller to declare the static query-grid extent
+    # (table_side = sqrt(Nq) for the 2-D grid, = Nq for the 1-D sequence)
+    # and a static |grid_kv| bound (the deformable offsets are tanh-bounded,
+    # so the attention modules derive it exactly).  The 1-D flavor always
+    # uses lattice spacing == query spacing (divisor 1 — already 8e-4 at
+    # production N).
     table_divisor: int = 0
     table_side: int = 0
     table_kv_bound: float = 0.0
@@ -195,6 +198,21 @@ class CPB(nn.Module):
             bias_t = cpb_bias_table(
                 gkv, w1, b1, w2, b2, w3, b3, side=self.table_side,
                 divisor=self.table_divisor, kv_bound=self.table_kv_bound,
+                use_kernel=jax.default_backend() == "tpu")
+            nk, nq = bias_t.shape[-2], bias_t.shape[-1]
+            return bias_t.reshape(b, self.heads, nk, nq)
+        use_table_1d = (self.table_divisor > 0 and transposed and P == 1
+                        and self.depth == 2 and self.log_distance
+                        and self.table_side >= 2
+                        and self.table_side == grid_q.shape[0])
+        if use_table_1d:
+            from ..ops.pallas.deform_attn import cpb_bias_table_1d
+
+            gkv = (grid_kv.reshape(-1, *grid_kv.shape[-2:])
+                   if grid_kv.ndim == 4 else grid_kv)
+            bias_t = cpb_bias_table_1d(
+                gkv[..., 0], w1, b1, w2, b2, w3, b3, n_q=self.table_side,
+                kv_bound=self.table_kv_bound,
                 use_kernel=jax.default_backend() == "tpu")
             nk, nq = bias_t.shape[-2], bias_t.shape[-1]
             return bias_t.reshape(b, self.heads, nk, nq)
@@ -485,6 +503,14 @@ class DeformCrossAttention1D(nn.Module):
     # maps, so this is invisible to callers): "kn" on TPU feeds the
     # transposed CPB kernel with zero relayouts; see resolve_attn_layout
     attn_layout: str = "auto"
+    # table-interpolated CPB (approximate): 0 = exact (the 1-D DEFAULT —
+    # unlike the 2-D module this does NOT follow CPB_TABLE_DIVISOR, because
+    # the 1-D table kernel measured perf-NEUTRAL on chip: its [1, cn] lane
+    # rotates use 1 of 8 sublanes, so it matches the exact MLP's ~16 ms
+    # instead of beating it; approximation without speedup is pure
+    # downside).  >0 opts in (golden-tested; lattice spacing == query
+    # spacing regardless of the value).  -1 = follow the global.
+    cpb_table_divisor: int = 0
 
     @nn.compact
     def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, *, return_vgrid: bool = False,
@@ -540,7 +566,15 @@ class DeformCrossAttention1D(nn.Module):
 
         seq = jnp.arange(N, dtype=x1.dtype)
         seq_scaled = (2.0 * seq / max(N - 1, 1) - 1.0)[:, None]  # [N,1]
+        tbl_div = (CPB_TABLE_DIVISOR if self.cpb_table_divisor < 0
+                   else self.cpb_table_divisor)
+        # |vgrid_scaled| <= 1 + 2*offset_scale/(n_ds-1) (tanh-bounded
+        # offsets, normalized by the downsampled extent)
+        tbl_bound = (1.0 + 2.0 * self.offset_scale / (n_ds - 1)
+                     if n_ds > 1 else 0.0)
         cpb = CPB(self.dim // 4, heads=H, offset_groups=G, depth=2,
+                  table_divisor=(tbl_div if n_ds > 1 else 0),
+                  table_side=N, table_kv_bound=tbl_bound,
                   name="rel_pos_bias")
         if layout == "kn":
             sim = ein("bhjd,bhid->bhji", kh, qh)  # [B,H,K,N]

@@ -575,3 +575,79 @@ def test_cpb_table_divisor_threads_from_config():
         assert da.CPB_TABLE_DIVISOR == 0  # default stays exact
     finally:
         da.CPB_TABLE_DIVISOR = old
+
+
+def test_cpb_table_1d_kernel_and_accuracy(rng):
+    """1-D table CPB: interpret-mode kernel == jnp reference (fwd + grads),
+    and both are close to the exact 1-D CPB MLP bias (multi-channel)."""
+    from disentangled_multimodal_learning_tpu.ops.pallas.deform_attn import (
+        cpb_bias_table_1d)
+
+    n_q, K, BH, O = 64, 10, 4, 2
+    kv_bound = 1.2
+    gkv = jnp.asarray(rng.uniform(-kv_bound, kv_bound, size=(BH, K)),
+                      jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(1, HID)) / np.sqrt(1), jnp.float32)
+    b1 = jnp.zeros(HID)
+    w2 = jnp.asarray(rng.normal(size=(HID, HID)) / np.sqrt(HID), jnp.float32)
+    b2 = jnp.zeros(HID)
+    w3 = jnp.asarray(rng.normal(size=(HID, O)) / np.sqrt(HID), jnp.float32)
+    b3 = jnp.zeros(O)
+
+    ref = cpb_bias_table_1d(gkv, w1, b1, w2, b2, w3, b3, n_q=n_q,
+                            kv_bound=kv_bound, use_kernel=False)
+    kern = cpb_bias_table_1d(gkv, w1, b1, w2, b2, w3, b3, n_q=n_q,
+                             kv_bound=kv_bound, use_kernel=True,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(kern), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+
+    # exact MLP bias [BH, O, K, n_q]
+    seq = (2.0 * np.arange(n_q) / (n_q - 1) - 1.0).astype(np.float32)
+    d = jnp.asarray(seq)[None, None, :] - gkv[:, :, None]  # [BH, K, N]
+    p = jnp.sign(d) * jnp.log1p(jnp.abs(d))
+    h = jnp.maximum(p[..., None] * w1[0] + b1, 0.0)
+    h = jnp.maximum(h @ w2 + b2, 0.0)
+    exact = (h @ w3 + b3).transpose(0, 3, 1, 2)           # [BH, O, K, N]
+    ptp = float(exact.max() - exact.min())
+    err = float(jnp.abs(ref - exact).max())
+    assert err < 0.02 * ptp, (err, ptp)
+
+    # gradients: kernel custom-VJP == jnp-reference autodiff
+    def loss(use_kernel):
+        def f(gkv_, w1_, w2_):
+            bias = cpb_bias_table_1d(gkv_, w1_, b1, w2_, b2, w3, b3,
+                                     n_q=n_q, kv_bound=kv_bound,
+                                     use_kernel=use_kernel,
+                                     interpret=use_kernel)
+            return jnp.sum(jnp.sin(3.0 * bias))
+        return f
+
+    gk = jax.grad(loss(True), argnums=(0, 1, 2))(gkv, w1, w2)
+    gr = jax.grad(loss(False), argnums=(0, 1, 2))(gkv, w1, w2)
+    for a, b in zip(gk, gr):
+        scale = max(float(jnp.abs(b).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=3e-5)
+
+
+def test_cpb_table_1d_through_attention_module(rng):
+    """DeformCrossAttention1D with the table CPB stays close to exact."""
+    from disentangled_multimodal_learning_tpu.models.deform_attention import (
+        DeformCrossAttention1D)
+
+    B, N, C = 2, 65, 32
+    x1 = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    kw = dict(dim=C, dim_head=8, heads=4, offset_groups=2, dropout=0.0,
+              downsample_factor=4, offset_scale=2.0, offset_kernel_size=6,
+              attn_layout="kn")
+    exact = DeformCrossAttention1D(**kw)
+    table = DeformCrossAttention1D(**kw, cpb_table_divisor=1)
+    variables = exact.init(jax.random.PRNGKey(0), x1, x2, deterministic=True)
+    o1 = exact.apply(variables, x1, x2, deterministic=True)
+    o2 = table.apply(variables, x1, x2, deterministic=True)
+    assert not np.array_equal(np.asarray(o1), np.asarray(o2)), \
+        "1-D table path did not engage"
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               atol=5e-3, rtol=1e-2)
