@@ -79,16 +79,19 @@ def main():
         batch_to_arrays, make_train_step)
     from disentangled_multimodal_learning_tpu.train.trainers import init_model_state
 
-    # cpb_table_divisor=2: table-interpolated CPB bias (the production
-    # operating point, also set in the config/ presets).  Approximation
-    # error 2.7e-3 max on a 1.2 bias range — BELOW the 9e-3 the "exact"
+    # cpb_table_divisor=1: table-interpolated CPB bias (the production
+    # operating point, also set in the config/ presets).  At divisor 1 the
+    # phase decomposition collapses and the specialized d1 kernels run one
+    # table load / one scatter RMW per row (4 at divisor>=2).  Approximation
+    # error 4.1e-3 max on a 1.2 bias range — BELOW the 9e-3 the "exact"
     # Pallas kernel itself deviates from true f32 via MXU f32-pass rounding
-    # (tools/exp_cpb_table.py) — with identical 200-step learnability
-    # (tools/tpu_train_check.py).  cpb_table_divisor=0 recovers exact CPB.
+    # (tools/exp_cpb_table.py) — with identical 200-step learnability for
+    # all four flagship modes (tools/tpu_train_check.py).
+    # cpb_table_divisor=0 recovers exact CPB.
     cfg = Config(mode="teacher", task_type="diag2021", label_dim=4,
                  fixdim=FIXDIM, batch_size=BATCH, gradient_modulate=True,
                  multiscale_attention=True, remat=False, checkpoints="#",
-                 cpb_table_divisor=2, debug=True).validate()
+                 cpb_table_divisor=1, debug=True).validate()
     ds = SyntheticBagDataset(size=BATCH, fixdim=FIXDIM, label_dim=4, seed=0,
                              args=cfg)
     batch = BagLoader(ds, BATCH, shuffle=False).__iter__().__next__()

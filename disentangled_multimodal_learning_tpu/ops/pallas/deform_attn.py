@@ -2115,6 +2115,81 @@ def _tbl_interp_ref(tablep, shifts, side, divisor, rn):
     return jax.vmap(one)(idx, frac)
 
 
+def _tbl_d1_fwd_kernel(idx_ref, frac_ref, tab_ref, out_ref):
+    """Divisor-1 specialization of :func:`_tbl_fwd_kernel`.
+
+    At divisor 1 the phase decomposition collapses (the table IS the full
+    lattice), so a row's four bilinear taps are the contiguous neighborhood
+    ``(b, b+1) x (ox, ox+1)``: ONE 8-aligned sublane window serves both row
+    taps (sublane rolls by the residue and residue+1) and one lane-roll
+    pair serves both column taps — 1 table load per row instead of 4."""
+    side = out_ref.shape[1]
+    cn = tab_ref.shape[1]
+    win = _tbl_win_rows(side)
+    for g in range(_TBL_ROWS):
+        b = idx_ref[g, 0]
+        ox = idx_ref[g, 4]
+        fy = frac_ref[g, 0]
+        fx = frac_ref[g, 1]
+        b0 = (b // 8) * 8
+        rem = b - b0
+        t = tab_ref[pl.ds(b0, win), :]
+        r1 = pltpu.roll(t, win - rem, axis=0)         # rows [b, ...]
+        r2 = pltpu.roll(t, win - rem - 1, axis=0)     # rows [b+1, ...]
+        ty = r1 * (1.0 - fy) + r2 * fy
+        l1 = pltpu.roll(ty, cn - ox, axis=1)          # lanes [ox, ...]
+        l2 = pltpu.roll(ty, cn - ox - 1, axis=1)      # lanes [ox+1, ...]
+        out_ref[g] = (l1 * (1.0 - fx) + l2 * fx)[:side, :side]
+
+
+def _tbl_d1_bwd_kernel(idx_ref, frac_ref, tab_ref, db_ref, dtab_ref,
+                       dsh_ref):
+    """Divisor-1 specialization of :func:`_tbl_bwd_kernel`: one table load
+    feeds all four tap reconstructions, and the four scatter
+    read-modify-writes merge into ONE — the (1-fy)/fy row pair is
+    pre-combined in window frame (rolled by residue and residue+1) before a
+    single accumulate into the table-cotangent scratch."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dtab_ref[...] = jnp.zeros_like(dtab_ref)
+
+    side = db_ref.shape[1]
+    cn = tab_ref.shape[1]
+    win = _tbl_win_rows(side)
+    dsh_rows = []
+    for g in range(_TBL_ROWS):
+        b = idx_ref[g, 0]
+        ox = idx_ref[g, 4]
+        fy = frac_ref[g, 0]
+        fx = frac_ref[g, 1]
+        b0 = (b // 8) * 8
+        rem = b - b0
+        dw = db_ref[g]                                     # [side, side]
+        t = tab_ref[pl.ds(b0, win), :]
+        r1 = pltpu.roll(t, win - rem, axis=0)
+        r2 = pltpu.roll(t, win - rem - 1, axis=0)
+        dyt = r2 - r1                                      # d(y-blend)/dfy
+        ty = r1 * (1.0 - fy) + r2 * fy
+        av = pltpu.roll(ty, cn - ox, axis=1)[:side, :side]
+        bv = pltpu.roll(ty, cn - ox - 1, axis=1)[:side, :side]
+        dya = pltpu.roll(dyt, cn - ox, axis=1)[:side, :side]
+        dyb = pltpu.roll(dyt, cn - ox - 1, axis=1)[:side, :side]
+        dfx = _tbl_sum2d(dw * (bv - av))
+        dfy = _tbl_sum2d(dw * (dya * (1.0 - fx) + dyb * fx))
+        dsh_rows.append(jnp.concatenate([dfy, dfx], axis=1))  # [1, 2]
+        dwpad = jnp.pad(dw, ((0, win - side), (0, cn - side)))
+        s = pltpu.roll(dwpad, ox, axis=1)                  # x-tap 0 frame
+        s2 = pltpu.roll(dwpad, ox + 1, axis=1)             # x-tap 1 frame
+        u = s * ((1.0 - fy) * (1.0 - fx)) + s2 * ((1.0 - fy) * fx)
+        v = s * (fy * (1.0 - fx)) + s2 * (fy * fx)
+        w = pltpu.roll(u, rem, axis=0) + pltpu.roll(v, rem + 1, axis=0)
+        cur = dtab_ref[pl.ds(b0, win), :]
+        dtab_ref[pl.ds(b0, win), :] = cur + w
+    dsh_ref[...] = jnp.concatenate(dsh_rows, axis=0)       # [_TBL_ROWS, 2]
+
+
 def _tbl_interp_call(tablep, shifts, side, divisor, rn, interpret):
     r = shifts.shape[0]
     r_pad = _round_up(r, _TBL_ROWS)
@@ -2122,7 +2197,7 @@ def _tbl_interp_call(tablep, shifts, side, divisor, rn, interpret):
     idx = _pad_n(idx, r_pad, axis=0)
     frac = _pad_n(frac, r_pad, axis=0)
     out = pl.pallas_call(
-        _tbl_fwd_kernel,
+        _tbl_d1_fwd_kernel if divisor == 1 else _tbl_fwd_kernel,
         grid=(r_pad // _TBL_ROWS,),
         in_specs=[
             pl.BlockSpec((_TBL_ROWS, 6), lambda i: (i, 0),
@@ -2161,7 +2236,7 @@ def _tbl_vjp_bwd(side, divisor, rn, interpret, res, dout):
     frac = _pad_n(frac, r_pad, axis=0)
     db = _pad_n(dout, r_pad, axis=0)                       # zero pad rows
     dtab, dsh = pl.pallas_call(
-        _tbl_bwd_kernel,
+        _tbl_d1_bwd_kernel if divisor == 1 else _tbl_bwd_kernel,
         grid=(r_pad // _TBL_ROWS,),
         in_specs=[
             pl.BlockSpec((_TBL_ROWS, 6), lambda i: (i, 0),

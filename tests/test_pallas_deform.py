@@ -471,10 +471,12 @@ def test_cpb_table_kernel_matches_jnp_interp(rng):
                                    atol=2e-6, rtol=1e-5)
 
 
-def test_cpb_table_kernel_grads_match_jnp_interp(rng):
+@pytest.mark.parametrize("divisor", [1, 2])
+def test_cpb_table_kernel_grads_match_jnp_interp(rng, divisor):
     """custom-VJP kernel gradients (table scatter + shift cotangents, then
     chained through the XLA table build) == autodiff of the jnp reference,
-    for params AND grid_kv."""
+    for params AND grid_kv.  divisor 1 exercises the specialized
+    single-RMW d1 backward kernel, divisor 2 the phase-decomposed one."""
     from disentangled_multimodal_learning_tpu.ops.pallas.deform_attn import (
         cpb_bias_table)
 
@@ -487,7 +489,7 @@ def test_cpb_table_kernel_grads_match_jnp_interp(rng):
     def loss(use_kernel):
         def f(gkv_, w1, b1, w2, b2, w3, b3):
             b = cpb_bias_table(gkv_, w1, b1, w2, b2, w3, b3, side=side,
-                               divisor=2, kv_bound=kv_bound,
+                               divisor=divisor, kv_bound=kv_bound,
                                use_kernel=use_kernel, interpret=use_kernel)
             return jnp.sum(jnp.sin(3.0 * b))
         return f

@@ -34,10 +34,10 @@ def bench(mode, B=4, fixdim=2500):
     from disentangled_multimodal_learning_tpu.train.trainers import (
         init_model_state)
 
-    # cpb_table_divisor=2: the production operating point (PERF.md)
+    # cpb_table_divisor=1: the production operating point (PERF.md)
     cfg = Config(mode=mode, task_type="diag2021", label_dim=4, fixdim=fixdim,
                  batch_size=B, checkpoints="#", debug=True,
-                 cpb_table_divisor=2).validate()
+                 cpb_table_divisor=1).validate()
     ds = SyntheticBagDataset(size=B, fixdim=fixdim, label_dim=4, seed=0,
                              args=cfg)
     batch = next(iter(BagLoader(ds, B, shuffle=False)))

@@ -43,12 +43,12 @@ def bench(mode, task, B=4, fixdim=2500):
         init_model_state)
 
     label_dim = {"diag2021": 4, "survival": 4, "grade": 3}[task]
-    # cpb_table_divisor=2: the production operating point (bench.py,
+    # cpb_table_divisor=1: the production operating point (bench.py,
     # config/ presets) — table-interpolated CPB, more accurate than the
     # exact kernel's own MXU rounding (PERF.md)
     kw = dict(mode=mode, task_type=task, label_dim=label_dim, fixdim=fixdim,
               batch_size=B, remat=False, checkpoints="#", debug=True,
-              cpb_table_divisor=2)
+              cpb_table_divisor=1)
     if mode in ("teacher", "uniteacher"):
         kw.update(gradient_modulate=True, multiscale_attention=True)
     if mode == "deformpathomic":
