@@ -2037,23 +2037,24 @@ def _tbl_bwd_kernel(idx_ref, frac_ref, tab_ref, db_ref, dtab_ref, dsh_ref):
         fy = frac_ref[g, 0]
         fx = frac_ref[g, 1]
         dw = db_ref[g]                                     # [side, side]
-        a0 = pltpu.roll(_tbl_read(tab_ref, b00, side), cn - ox0,
-                        axis=1)[:, :side]
-        a1 = pltpu.roll(_tbl_read(tab_ref, b10, side), cn - ox0,
-                        axis=1)[:, :side]
-        b0 = pltpu.roll(_tbl_read(tab_ref, b01, side), cn - ox1,
-                        axis=1)[:, :side]
-        b1 = pltpu.roll(_tbl_read(tab_ref, b11, side), cn - ox1,
-                        axis=1)[:, :side]
-        av = a0 * (1.0 - fy) + a1 * fy
-        bv = b0 * (1.0 - fy) + b1 * fy
-        dfy = _tbl_sum2d(dw * ((a1 - a0) * (1.0 - fx) + (b1 - b0) * fx))
-        dfx = _tbl_sum2d(dw * (bv - av))
-        dsh_rows.append(jnp.concatenate([dfy, dfx], axis=1))  # [1, 2]
+        w00 = _tbl_read(tab_ref, b00, side)                # [side, cn]
+        w10 = _tbl_read(tab_ref, b10, side)
+        w01 = _tbl_read(tab_ref, b01, side)
+        w11 = _tbl_read(tab_ref, b11, side)
         win = _tbl_win_rows(side)
         dwpad = jnp.pad(dw, ((0, win - side), (0, cn - side)))
         s0 = pltpu.roll(dwpad, ox0, axis=1)
         s1 = pltpu.roll(dwpad, ox1, axis=1)
+        # shift cotangents WITHOUT lane-rolling the taps into window frame:
+        # sum(dw * roll(X, cn-ox)) == sum(roll(dwpad, ox) * X), so both
+        # blend derivatives contract the scattered dw (s0/s1, which the
+        # RMWs below need anyway) against raw table windows.
+        ty0f = w00 * (1.0 - fy) + w10 * fy
+        ty1f = w01 * (1.0 - fy) + w11 * fy
+        dfx = _tbl_sum2d(s1[:side, :] * ty1f - s0[:side, :] * ty0f)
+        dfy = _tbl_sum2d((s0[:side, :] * (w10 - w00)) * (1.0 - fx)
+                         + (s1[:side, :] * (w11 - w01)) * fx)
+        dsh_rows.append(jnp.concatenate([dfy, dfx], axis=1))  # [1, 2]
 
         # four 8-aligned read-modify-writes (scatter rows rolled DOWN by the
         # alignment residue); in-order ref accesses keep overlapping windows
@@ -2172,18 +2173,19 @@ def _tbl_d1_bwd_kernel(idx_ref, frac_ref, tab_ref, db_ref, dtab_ref,
         r2 = pltpu.roll(t, win - rem - 1, axis=0)
         dyt = r2 - r1                                      # d(y-blend)/dfy
         ty = r1 * (1.0 - fy) + r2 * fy
-        av = pltpu.roll(ty, cn - ox, axis=1)[:side, :side]
-        bv = pltpu.roll(ty, cn - ox - 1, axis=1)[:side, :side]
-        dya = pltpu.roll(dyt, cn - ox, axis=1)[:side, :side]
-        dyb = pltpu.roll(dyt, cn - ox - 1, axis=1)[:side, :side]
-        dfx = _tbl_sum2d(dw * (bv - av))
-        dfy = _tbl_sum2d(dw * (dya * (1.0 - fx) + dyb * fx))
-        dsh_rows.append(jnp.concatenate([dfy, dfx], axis=1))  # [1, 2]
         dwpad = jnp.pad(dw, ((0, win - side), (0, cn - side)))
         s = pltpu.roll(dwpad, ox, axis=1)                  # x-tap 0 frame
         s2 = pltpu.roll(dwpad, ox + 1, axis=1)             # x-tap 1 frame
         u = s * ((1.0 - fy) * (1.0 - fx)) + s2 * ((1.0 - fy) * fx)
         v = s * (fy * (1.0 - fx)) + s2 * (fy * fx)
+        # shift cotangents WITHOUT reconstructing the gathered windows:
+        # sum(dw * roll(X, cn-ox)) == sum(roll(dwpad, ox) * X), so the
+        # x-blend derivative contracts (s2 - s) against ty and the y-blend
+        # derivative contracts the x-scattered dw (= u + v) against dyt —
+        # everything in table lane frame, reusing the RMW's scatter rolls.
+        dfx = _tbl_sum2d((s2 - s) * ty)
+        dfy = _tbl_sum2d((u + v) * dyt)
+        dsh_rows.append(jnp.concatenate([dfy, dfx], axis=1))  # [1, 2]
         w = pltpu.roll(u, rem, axis=0) + pltpu.roll(v, rem + 1, axis=0)
         cur = dtab_ref[pl.ds(b0, win), :]
         dtab_ref[pl.ds(b0, win), :] = cur + w
