@@ -2073,12 +2073,26 @@ def _tbl_bwd_kernel(idx_ref, frac_ref, tab_ref, db_ref, dtab_ref, dsh_ref):
     dsh_ref[...] = jnp.concatenate(dsh_rows, axis=0)       # [_TBL_ROWS, 2]
 
 
-def _tbl_idx(shifts, side, divisor, rn):
+def _tbl_split_rows(side, rn):
+    """Rows per copy in the lane-split layout (8-aligned so copy B's rows
+    stay 8-aligned in the stacked table)."""
+    return _round_up(rn + _tbl_win_rows(side), 8)
+
+
+def _tbl_idx(shifts, side, divisor, rn, split=0):
     """Continuous (ty, tx) [R, 2] -> int taps [R, 6] + fracs [R, 2].
 
     Full-lattice index iy decomposes as (phase iy % d, row iy // d); the
     window's stride-d rows are then CONTIGUOUS rows of phase-block
-    (py*d + px)*rn + oy of the phase-decomposed table."""
+    (py*d + px)*rn + oy of the phase-decomposed table.
+
+    ``split`` (divisor 1 only): the table's ``rn`` lanes are stored as TWO
+    stacked 128-lane copies — lanes [0, 128) and lanes [split, rn) with
+    ``split = rn - 128`` — so every lane-wise kernel pass runs at half
+    width when rn would pad to 256.  A row's windows (x-taps ox and ox+1,
+    each ``side`` wide) always fit entirely in one copy; the selector
+    rewrites (row, ox) into the chosen copy's frame and the kernels are
+    untouched."""
     d = divisor
     hi = (rn - side) * d + d - 2       # keep oy + side <= rn for iy and iy+1
     i0 = jnp.clip(jnp.floor(shifts), 0.0, float(hi))
@@ -2089,18 +2103,23 @@ def _tbl_idx(shifts, side, divisor, rn):
     py1, oy1 = i1[:, 0] % d, i1[:, 0] // d
     px0, ox0 = i0[:, 1] % d, i0[:, 1] // d
     px1, ox1 = i1[:, 1] % d, i1[:, 1] // d
-    idx = jnp.stack([
-        (py0 * d + px0) * rn + oy0,
-        (py1 * d + px0) * rn + oy1,
-        (py0 * d + px1) * rn + oy0,
-        (py1 * d + px1) * rn + oy1,
-        ox0, ox1], axis=1).astype(jnp.int32)
+    rows = [(py0 * d + px0) * rn + oy0,
+            (py1 * d + px0) * rn + oy1,
+            (py0 * d + px1) * rn + oy0,
+            (py1 * d + px1) * rn + oy1]
+    if split:
+        assert divisor == 1, "lane-split layout is divisor-1 only"
+        c = (ox0 > 127 - side).astype(jnp.int32)   # ox+1 window must fit A
+        rows = [r + c * _tbl_split_rows(side, rn) for r in rows]
+        ox0 = ox0 - c * split
+        ox1 = ox1 - c * split
+    idx = jnp.stack(rows + [ox0, ox1], axis=1).astype(jnp.int32)
     return idx, frac
 
 
-def _tbl_interp_ref(tablep, shifts, side, divisor, rn):
+def _tbl_interp_ref(tablep, shifts, side, divisor, rn, split=0):
     """jnp reference of the interpolation (CPU path + kernel golden)."""
-    idx, frac = _tbl_idx(shifts, side, divisor, rn)
+    idx, frac = _tbl_idx(shifts, side, divisor, rn, split)
 
     def one(ivec, fvec):
         def win(b, ox):
@@ -2192,10 +2211,10 @@ def _tbl_d1_bwd_kernel(idx_ref, frac_ref, tab_ref, db_ref, dtab_ref,
     dsh_ref[...] = jnp.concatenate(dsh_rows, axis=0)       # [_TBL_ROWS, 2]
 
 
-def _tbl_interp_call(tablep, shifts, side, divisor, rn, interpret):
+def _tbl_interp_call(tablep, shifts, side, divisor, rn, split, interpret):
     r = shifts.shape[0]
     r_pad = _round_up(r, _TBL_ROWS)
-    idx, frac = _tbl_idx(shifts, side, divisor, rn)
+    idx, frac = _tbl_idx(shifts, side, divisor, rn, split)
     idx = _pad_n(idx, r_pad, axis=0)
     frac = _pad_n(frac, r_pad, axis=0)
     out = pl.pallas_call(
@@ -2215,25 +2234,29 @@ def _tbl_interp_call(tablep, shifts, side, divisor, rn, interpret):
     return out[:r]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _table_interp(tablep, shifts, side, divisor, rn, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _table_interp(tablep, shifts, side, divisor, rn, split=0,
+                  interpret=False):
     """Bilinear window interpolation: phase-decomposed table
-    ``[d*d*rn + pad, cn]`` + per-row continuous lattice shifts ``[R, 2]``
-    (ty, tx) -> bias windows ``[R, side, side]``.  Differentiable wrt
-    both."""
-    return _tbl_interp_call(tablep, shifts, side, divisor, rn, interpret)
+    ``[d*d*rn + pad, cn]`` (or the lane-split two-copy layout when
+    ``split > 0``, see :func:`_tbl_idx`) + per-row continuous lattice
+    shifts ``[R, 2]`` (ty, tx) -> bias windows ``[R, side, side]``.
+    Differentiable wrt both."""
+    return _tbl_interp_call(tablep, shifts, side, divisor, rn, split,
+                            interpret)
 
 
-def _tbl_vjp_fwd(tablep, shifts, side, divisor, rn, interpret):
-    out = _tbl_interp_call(tablep, shifts, side, divisor, rn, interpret)
+def _tbl_vjp_fwd(tablep, shifts, side, divisor, rn, split, interpret):
+    out = _tbl_interp_call(tablep, shifts, side, divisor, rn, split,
+                           interpret)
     return out, (tablep, shifts)
 
 
-def _tbl_vjp_bwd(side, divisor, rn, interpret, res, dout):
+def _tbl_vjp_bwd(side, divisor, rn, split, interpret, res, dout):
     tablep, shifts = res
     r = shifts.shape[0]
     r_pad = _round_up(r, _TBL_ROWS)
-    idx, frac = _tbl_idx(shifts, side, divisor, rn)
+    idx, frac = _tbl_idx(shifts, side, divisor, rn, split)
     idx = _pad_n(idx, r_pad, axis=0)
     frac = _pad_n(frac, r_pad, axis=0)
     db = _pad_n(dout, r_pad, axis=0)                       # zero pad rows
@@ -2307,11 +2330,25 @@ def cpb_bias_table(grid_kv, w1, b1, w2, b2, w3, b3, *, side, divisor,
                       + b1, 0.0)
     hid = jnp.maximum(dot(hid, w2) + b2, 0.0)
     t_full = (dot(hid, w3) + b3)[..., 0]                   # [tn, tn]
-    tablep = t_full.reshape(rn, divisor, rn, divisor)
-    tablep = tablep.transpose(1, 3, 0, 2).reshape(divisor * divisor * rn, rn)
-    cn = _round_up(rn, 128)
-    # row pad: headroom for the kernel's 8-aligned sublane window loads
-    tablep = jnp.pad(tablep, ((0, _tbl_win_rows(side)), (0, cn - rn)))
+    split = 0
+    if divisor == 1 and rn > 128 and rn <= 256 - side:
+        # lane-split layout: two stacked 128-lane copies (lanes [0, 128)
+        # and [rn-128, rn)) so every lane-wise kernel pass runs at 128
+        # lanes instead of the 256 rn would pad to.  All slices/pads are
+        # linear XLA ops, so the table cotangent recombines via autodiff.
+        split = rn - 128
+        rpad = _tbl_split_rows(side, rn)
+        tablep = jnp.concatenate([
+            jnp.pad(t_full[:, :128], ((0, rpad - rn), (0, 0))),
+            jnp.pad(t_full[:, split:rn], ((0, rpad - rn), (0, 0))),
+        ], axis=0)                                         # [2*rpad, 128]
+    else:
+        tablep = t_full.reshape(rn, divisor, rn, divisor)
+        tablep = tablep.transpose(1, 3, 0, 2).reshape(
+            divisor * divisor * rn, rn)
+        cn = _round_up(rn, 128)
+        # row pad: headroom for the kernel's 8-aligned sublane window loads
+        tablep = jnp.pad(tablep, ((0, _tbl_win_rows(side)), (0, cn - rn)))
     # shifts in lattice units: first query coord is -1 on both axes
     ty = (-1.0 - grid_kv[..., 1] - t0) / h
     tx = (-1.0 - grid_kv[..., 0] - t0) / h
@@ -2319,9 +2356,10 @@ def cpb_bias_table(grid_kv, w1, b1, w2, b2, w3, b3, *, side, divisor,
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
     if use_kernel:
-        wins = _table_interp(tablep, shifts, side, divisor, rn, interpret)
+        wins = _table_interp(tablep, shifts, side, divisor, rn, split,
+                             interpret)
     else:
-        wins = _tbl_interp_ref(tablep, shifts, side, divisor, rn)
+        wins = _tbl_interp_ref(tablep, shifts, side, divisor, rn, split)
     return wins.reshape(bh, k, side * side)
 
 

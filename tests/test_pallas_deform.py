@@ -502,6 +502,45 @@ def test_cpb_table_kernel_grads_match_jnp_interp(rng, divisor):
                                    np.asarray(b) / scale, atol=3e-5)
 
 
+def test_cpb_table_lane_split_kernel_and_grads(rng):
+    """The divisor-1 lane-split layout (rn > 128: table stored as two
+    stacked 128-lane copies, per-row copy selection in _tbl_idx): kernel
+    == jnp reference of the same approximation, and custom-VJP grads ==
+    autodiff of the reference, for params AND grid_kv."""
+    from disentangled_multimodal_learning_tpu.ops.pallas.deform_attn import (
+        _tbl_consts, cpb_bias_table)
+
+    side, K, BH = 12, 6, 2
+    kv_bound = 12.0                      # forces rn > 128 at divisor 1
+    _, _, rn, _ = _tbl_consts(side, 1, kv_bound)
+    assert rn > 128, "geometry no longer exercises the split path"
+    gkv = jnp.asarray(rng.uniform(-kv_bound, kv_bound, size=(BH, K, 2)),
+                      jnp.float32)
+    params = _cpb_params(rng)
+
+    ref = cpb_bias_table(gkv, *params, side=side, divisor=1,
+                         kv_bound=kv_bound, use_kernel=False)
+    kern = cpb_bias_table(gkv, *params, side=side, divisor=1,
+                          kv_bound=kv_bound, use_kernel=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(kern), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+
+    def loss(use_kernel):
+        def f(gkv_, w1, b1, w2, b2, w3, b3):
+            b = cpb_bias_table(gkv_, w1, b1, w2, b2, w3, b3, side=side,
+                               divisor=1, kv_bound=kv_bound,
+                               use_kernel=use_kernel, interpret=use_kernel)
+            return jnp.sum(jnp.sin(3.0 * b))
+        return f
+
+    gk = jax.grad(loss(True), argnums=(0, 1, 2, 3, 4, 5, 6))(gkv, *params)
+    gr = jax.grad(loss(False), argnums=(0, 1, 2, 3, 4, 5, 6))(gkv, *params)
+    for a, b in zip(gk, gr):
+        scale = max(float(jnp.abs(b).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=3e-5)
+
+
 def test_cpb_table_approximates_exact_bias(rng):
     """The table bias converges to the exact CPB MLP bias as the divisor
     grows, and is already close at divisor 4 (the production opt-in)."""
