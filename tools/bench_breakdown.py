@@ -49,10 +49,12 @@ def main():
     from disentangled_multimodal_learning_tpu.train.trainers import init_model_state
 
     B, FIX = 4, 2500
+    divisor = int(os.environ.get("DMLT_BREAKDOWN_DIVISOR", "1"))
     cfg = Config(mode="teacher", task_type="diag2021", label_dim=4,
                  fixdim=FIX, batch_size=B, gradient_modulate=True,
                  multiscale_attention=True, remat=False, checkpoints="#",
-                 debug=True).validate()
+                 cpb_table_divisor=divisor, debug=True).validate()
+    DA.CPB_TABLE_DIVISOR = divisor  # isolated-module sections follow suit
     ds = SyntheticBagDataset(size=B, fixdim=FIX, label_dim=4, seed=0, args=cfg)
     batch = next(iter(BagLoader(ds, B, shuffle=False)))
     arrays = batch_to_arrays(batch)
