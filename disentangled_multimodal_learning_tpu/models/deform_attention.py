@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..ops.grid_sample import (grid_sample_1d, grid_sample_1d_matmul,
                                grid_sample_1d_torchtrick, grid_sample_2d,
-                               grid_sample_2d_matmul)
+                               grid_sample_2d_factored, grid_sample_2d_matmul)
 
 
 def _compute_dtype():
@@ -410,9 +410,11 @@ class DeformCrossAttention2D(nn.Module):
         # ---- gather kv features at deformed positions --------------------
         x2g = x2.reshape(B, side, side, G, C // G).transpose(0, 3, 1, 2, 4)
         pts = vgrid_scaled.reshape(B, G, gh * gw, 2)
-        # matmul formulation: identical values, scatter-free backward (the
-        # gather version's scatter-add lowers to while-loops on TPU)
-        kv = grid_sample_2d_matmul(x2g, pts)  # [B, G, K, C//G]
+        # factored-matmul formulation: identical values, scatter-free
+        # backward (the gather version's scatter-add lowers to while-loops
+        # on TPU) with per-axis separable weights instead of the
+        # [B, G, K, side*side] one-hot (ops/grid_sample.py)
+        kv = grid_sample_2d_factored(x2g, pts)  # [B, G, K, C//G]
         K = gh * gw
         kv = kv.transpose(0, 2, 1, 3).reshape(B, K, C)
 

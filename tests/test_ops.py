@@ -262,3 +262,36 @@ def test_grid_sample_matmul_matches_gather(rng):
     a1 = np.asarray(grid_sample_1d(jnp.asarray(f1), jnp.asarray(v1)))
     b1 = np.asarray(grid_sample_1d_matmul(jnp.asarray(f1), jnp.asarray(v1)))
     np.testing.assert_allclose(a1, b1, atol=1e-5)
+
+
+def test_grid_sample_factored_matches_gather(rng):
+    """The separable two-matmul formulation == the gather reference, values
+    AND grads, including out-of-bounds points (zeros padding) and leading
+    batch dims (the [B, G] group axis the attention passes)."""
+    from disentangled_multimodal_learning_tpu.ops.grid_sample import (
+        grid_sample_2d_factored)
+
+    feats = rng.normal(size=(2, 6, 6, 5)).astype(np.float32)
+    pts = rng.uniform(-1.2, 1.2, size=(2, 9, 2)).astype(np.float32)
+    a = np.asarray(grid_sample_2d(jnp.asarray(feats), jnp.asarray(pts)))
+    b = np.asarray(grid_sample_2d_factored(jnp.asarray(feats),
+                                           jnp.asarray(pts)))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    ga = jax.grad(lambda f, p: grid_sample_2d(f, p).sum(), argnums=(0, 1))(
+        jnp.asarray(feats), jnp.asarray(pts))
+    gb = jax.grad(lambda f, p: grid_sample_2d_factored(f, p).sum(),
+                  argnums=(0, 1))(jnp.asarray(feats), jnp.asarray(pts))
+    np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]),
+                               atol=1e-4)
+
+    # leading [B, G] dims
+    fg = rng.normal(size=(2, 3, 5, 5, 4)).astype(np.float32)
+    pg = rng.uniform(-1.1, 1.1, size=(2, 3, 7, 2)).astype(np.float32)
+    from disentangled_multimodal_learning_tpu.ops.grid_sample import (
+        grid_sample_2d_matmul)
+    a2 = np.asarray(grid_sample_2d_matmul(jnp.asarray(fg), jnp.asarray(pg)))
+    b2 = np.asarray(grid_sample_2d_factored(jnp.asarray(fg),
+                                            jnp.asarray(pg)))
+    np.testing.assert_allclose(a2, b2, atol=1e-5)
