@@ -256,8 +256,10 @@ def test_cpb_bias_transposed_row_padding(rng):
 
 
 def test_attn_layout_kn_matches_nk(rng):
-    """The TPU-native "kn" attention layout is bit-equivalent to the
-    reference "nk" layout: same out, transposed attn, identical grads."""
+    """The TPU-native "kn" attention layout matches the reference "nk"
+    layout: same out, transposed attn, grads equal up to f32 reassociation
+    (the factored grid-sample backward contracts its per-axis weight
+    matmuls in layout-dependent order, so grads are no longer bit-equal)."""
     from disentangled_multimodal_learning_tpu.models.deform_attention import (
         DeformCrossAttention2D)
 
@@ -284,8 +286,10 @@ def test_attn_layout_kn_matches_nk(rng):
     g2 = jax.grad(loss(m_kn))(v["params"])
     for a, b in zip(jax.tree_util.tree_leaves(g1),
                     jax.tree_util.tree_leaves(g2)):
+        # rtol covers layout-dependent f32 dot reassociation (observed
+        # max ~1.5e-4 relative on grad values of O(200))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-5, rtol=1e-5)
+                                   atol=1e-5, rtol=1e-3)
 
 
 def test_attn_kv_axis_helper():
