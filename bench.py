@@ -13,32 +13,34 @@ operation count: per scale, 2 deformable attentions materialize
 bandwidth-bound on A100 at ~1.5 TB/s => ~25 bags/s optimistic).  Replace with
 a measured number when A100 hardware is available.
 
-Profile notes (v5e, fixdim=2500): the step is entirely dominated by the 4
-deformable cross-attentions (stubbing them: 167 ms -> 3.9 ms at B=8), and
-within them by the SwinV2 CPB bias MLP (~3 GB/layer hidden activations in
-XLA).  Optimization history at B=4 (tools/bench_breakdown.py has the
-measurements): 43 -> 58 (XLA tuning) -> 70 (wide-layout Pallas CPB MLP,
-hiddens never leave VMEM) -> 100 (compact 8-row kernel blocks killing the
-8x sublane padding of [1, M] boundary arrays + exact-dividing chunks) ->
-133 (attention-map Gram losses contracted in native layout instead of
-reshape(n,-1) relayouts) -> 151 bags/s (transposed "kn" attention layout +
-v7 CPB kernel: position diffs, log transform and the dgkv reduction all
-in-kernel, so the 92 MB/attention fx/fy streams and their relayouts vanish;
-sim/softmax/PV consume the kv-major bias with zero transposes) -> ~195
-bags/s (v9 table-interpolated CPB: the bias MLP is evaluated once per step
-on a half-query-spacing lattice — ~300k points instead of 11.5M — and each
-kv point's bias row becomes a bilinear blend of four aligned table windows;
-tools/exp_cpb_table_e2e.py: teacher 146->195, student 223->277,
-deformpathomic 320->442).  Negative results are kept golden-tested in
+Profile notes (v5e, fixdim=2500): the step is dominated by the 4 deformable
+cross-attentions, and within them by the SwinV2 CPB bias term.  The
+production operating point is the v9 table-interpolated CPB at divisor 1
+(specialized kernels): the bias MLP is evaluated once per step on the query
+lattice (~75k points instead of 11.5M) and each kv point's bias row is a
+bilinear blend of its 2x2 lattice neighborhood, fetched by ONE 8-aligned
+table load per row in the forward and ONE merged scatter RMW per row in the
+backward, with the table stored as two stacked 128-lane copies so no
+lane-wise pass runs on pad.  Optimization history at B=4
+(tools/bench_breakdown.py + PERF.md have the measurements):
+43 -> 58 (XLA tuning) -> 70 (wide-layout Pallas CPB MLP) -> 100 (compact
+8-row kernel blocks + exact-dividing chunks) -> 133 (Gram losses in native
+layout) -> 151 (transposed "kn" layout + self-contained v7 exact kernel) ->
+195 (v9 table interpolation) -> 218 (divisor-1 specialized kernels) -> 255
+(scatter-frame shift cotangents in the table backward) -> 281 bags/s
+(lane-split two-copy table layout).  Exact CPB (cpb_table_divisor=0) stays
+at ~146-151.  Negative results are kept golden-tested in
 ops/pallas/deform_attn.py with notes on why their layouts lose (flat v2,
-wide4 block-diag, self-contained v5 with 1-sublane blocks; bf16 streams and
-bf16 MXU operands also measured slower — the CPB kernel is VPU/MXU-bound,
-not bandwidth-bound).
+wide4 block-diag, self-contained v5 with 1-sublane blocks; bf16 streams,
+bf16 MXU operands, the v8 fully-fused attention and stacked CPB launches
+all measured slower — the CPB kernel is VPU/MXU-bound, not bandwidth-bound).
 
-Roofline fields: ``bytes_per_step`` comes from XLA's compiled cost analysis
-(bytes accessed, all memory spaces), ``achieved_GBps`` divides it by the
-measured step time, and ``pct_hbm_peak`` compares against the v5e HBM peak
-(819 GB/s) — so the "how far from memory-bound" claim is checkable.
+Traffic fields: ``bytes_accessed_all_spaces`` comes from XLA's compiled
+cost analysis, which counts ALL memory spaces (HBM + VMEM + SMEM), not HBM
+alone — at the table-CPB operating point it exceeds what HBM could serve,
+which is expected for a VMEM-resident working set and is why the field is
+named what it is and NOT compared against an HBM peak.
+``all_spaces_GBps`` divides it by the measured step time.
 """
 
 from __future__ import annotations
@@ -49,7 +51,6 @@ import time
 import numpy as np
 
 REF_A100_BAGS_PER_SEC = 25.0  # ESTIMATE, not measured — see module docstring
-V5E_HBM_PEAK_GBPS = 819.0  # TPU v5e HBM bandwidth (public spec)
 
 BATCH = 4  # the reference teacher's batch size (config_mine_diag2021.yaml:51)
 FIXDIM = 2500
@@ -158,10 +159,11 @@ def main():
     }
     if bytes_per_step:
         gbps = bytes_per_step / step_sec / 1e9
+        # NOTE: XLA's "bytes accessed" counts all memory spaces (HBM+VMEM),
+        # so this is NOT an HBM roofline number — see module docstring.
         record.update({
-            "bytes_per_step": int(bytes_per_step),
-            "achieved_GBps": round(gbps, 1),
-            "pct_hbm_peak": round(100.0 * gbps / V5E_HBM_PEAK_GBPS, 1),
+            "bytes_accessed_all_spaces": int(bytes_per_step),
+            "all_spaces_GBps": round(gbps, 1),
         })
     print(json.dumps(record))
 

@@ -250,6 +250,12 @@ class Config:
     # chips, sub-ms models); eval/logging cadence rounds to multiples of it.
     scan_steps: int = 1
     eval_during_training: bool = True
+    # deterministic training: run the train step's model forward in
+    # deterministic mode (dropout off, DPC tie-break noise pinned, BN frozen
+    # on running stats).  For bitwise-reproducible debugging and for
+    # trajectory-parity testing against a torch eval-mode oracle
+    # (tests/test_reference_parity.py); NOT a production setting.
+    deterministic_training: bool = False
     # numerics
     compute_dtype: str = "float32"  # or "bfloat16" for matmul-heavy paths
     use_pallas: bool = True  # use fused Pallas kernels where available
@@ -315,6 +321,14 @@ class Config:
             from .data.bucketing import validate_buckets
 
             validate_buckets(str(self.buckets).split(","))
+        from .utils.weight_init import VALID_INIT_TYPES
+        if self.init_type not in VALID_INIT_TYPES:
+            # the reference raises the same way inside init_weights
+            # (utils/utils.py:202); we reject at config time instead of
+            # silently falling through to framework defaults
+            raise NotImplementedError(
+                f"initialization method [{self.init_type}] is not implemented"
+                f" (valid: {', '.join(VALID_INIT_TYPES)})")
         if self.fixdim <= 0:
             raise ValueError("fixdim must be positive")
         n = self.fixdim

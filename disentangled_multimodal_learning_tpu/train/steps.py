@@ -119,12 +119,16 @@ def make_train_step(model, cfg, tx: optax.GradientTransformation,
     distill_logits = bool(cfg.distill_logits)
     distill_feature = bool(cfg.distill_feature)
     temperature = float(cfg.temperature)
+    # deterministic_training: dropout off / DPC noise pinned / BN frozen —
+    # the trajectory-parity configuration (config.py); train math unchanged
+    train_flag = not bool(getattr(cfg, "deterministic_training", False))
 
     model_mode = "student" if mode == "distillation" else mode
 
     def loss_and_aux(params, batch_stats, arrays, rng, teacher_vars):
         label = arrays["label"]
-        out, new_bs = _apply(model, params, batch_stats, model_mode, arrays, rng, True)
+        out, new_bs = _apply(model, params, batch_stats, model_mode, arrays,
+                             rng, train_flag)
         metrics = {}
         aux = {}
 

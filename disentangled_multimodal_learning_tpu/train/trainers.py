@@ -44,6 +44,16 @@ def init_model_state(model, cfg, sample_batch, tx, seed: int | None = None,
     rngs = {"params": jax.random.PRNGKey(seed if seed is not None else cfg.seed),
             "dropout": jax.random.PRNGKey((seed or cfg.seed) + 1)}
     variables = model.init(rngs, **inputs, deterministic=True)
+    init_type = getattr(cfg, "init_type", "max")
+    if init_type not in ("max", "none"):
+        # normal/xavier/kaiming/orthogonal re-init, like the reference's
+        # init_net wrapping every define_net output (models/model.py:104,
+        # utils/utils.py:180-242); 'max' is handled inside MaxNet itself
+        from ..utils.weight_init import apply_init_type
+
+        variables = apply_init_type(variables, init_type,
+                                    getattr(cfg, "init_gain", 0.02),
+                                    seed if seed is not None else cfg.seed)
     return TrainState.create(variables, tx)
 
 
@@ -376,6 +386,13 @@ def trainDeformPathomicModel(model, dataloader, optimizer, scheduler, logger,
 # ---------------------------------------------------------------------------
 
 def _run_test(model, loader, args, model_type=None, state=None):
+    if state is None:
+        raise ValueError(
+            "test* entry points need a TrainState holding the trained "
+            "parameters (the reference API takes a loaded torch model; here "
+            "params live in the state). Load a checkpoint first — e.g. "
+            "state = restore_state(init_model_state(...), ckpt_path) — and "
+            "pass it as `state=`.")
     ev = Evaluator(model, args)
     return _metricdicts_to_flat(
         args, ev(state, loader, model_type),

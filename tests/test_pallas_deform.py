@@ -286,10 +286,12 @@ def test_attn_layout_kn_matches_nk(rng):
     g2 = jax.grad(loss(m_kn))(v["params"])
     for a, b in zip(jax.tree_util.tree_leaves(g1),
                     jax.tree_util.tree_leaves(g2)):
-        # rtol covers layout-dependent f32 dot reassociation (observed
-        # max ~1.5e-4 relative on grad values of O(200))
+        # rtol covers layout-dependent f32 dot reassociation in the factored
+        # grid-sample backward (observed max ~1.5e-4 relative on grad values
+        # of O(200)); 5e-4 keeps ~3x margin while still catching systematic
+        # grad bugs an order of magnitude above the reassociation noise
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-5, rtol=1e-3)
+                                   atol=1e-5, rtol=5e-4)
 
 
 def test_attn_kv_axis_helper():

@@ -1,0 +1,404 @@
+"""Multi-step training-trajectory parity vs the torch reference.
+
+For each flagship trainer, export OUR initial weights into the live
+reference modules (utils/torch_export.py), run K optimizer steps on
+identical batches in BOTH frameworks — the torch loop transcribing
+reference train_test.py semantics (losses, gradient modulation, Adam/AdamW
+with L2-vs-decoupled weight decay, per-iteration cosine schedule,
+models/model.py:107-133) vs our jitted train step on CPU — and require
+per-step losses and final parameters to agree within f32 tolerance.
+
+Determinism: dropout off on both sides (torch model.eval();
+cfg.deterministic_training=True runs our forward deterministic — the DPC
+tie-break noise is then the pinned PRNGKey(0) draw, which the torch side
+pins via torch.rand monkeypatching, same trick as test_torch_import.py).
+
+Known deliberate divergences (documented at the assertion sites):
+- the reference's DDP double all-reduce / after-step all-reduce ordering
+  bug (train_test.py:223-228, 970-981) does not exist here — at
+  world_size=1 both are no-ops, so trajectories still compare;
+- the reference's cosine schedule is stepped PER ITERATION with
+  T_max=args.epochs (train_test.py:230); we set epochs=K steps_per_epoch=1
+  so both schedules evaluate lr_k = lr*(1+cos(pi*k/K))/2 at step k.
+"""
+
+import importlib
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from test_grad_modulate import torch_reference_modulate  # noqa: E402
+from test_reference_parity import _load_ref_model_py  # noqa: E402
+from test_torch_import import _ref_args  # noqa: E402
+
+from disentangled_multimodal_learning_tpu.config import Config
+from disentangled_multimodal_learning_tpu.data import SyntheticBagDataset
+from disentangled_multimodal_learning_tpu.models.factory import define_net
+from disentangled_multimodal_learning_tpu.train.optim import make_optimizer
+from disentangled_multimodal_learning_tpu.train.steps import (batch_to_arrays,
+                                                              make_train_step)
+from disentangled_multimodal_learning_tpu.train.trainers import \
+    init_model_state
+from disentangled_multimodal_learning_tpu.utils.torch_export import \
+    export_torch_state_dict
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference mount not available")
+
+B, N, K_STEPS = 2, 64, 8
+LR, WD = 2e-4, 0.01  # the teacher preset (reference config_mine_diag2021.yaml)
+CE_W = [1.0, 4.15, 2.93, 2.43]  # diag2021 class weights (train_test.py:27)
+RATIO = 2.0 / N  # 2 DPC clusters at N=64
+
+
+def _cfg(mode, optimizer):
+    return Config(mode=mode, task_type="diag2021", label_dim=4, fixdim=N,
+                  batch_size=B, epochs=K_STEPS, lr=LR, lr_policy="cosine",
+                  optimizer=optimizer, weight_decay=WD,
+                  gradient_modulate=True, multiscale_attention=True,
+                  return_vgrid=True, path_cluster_num=RATIO,
+                  deterministic_training=True, checkpoints="#").validate()
+
+
+def _batches(cfg):
+    ds = SyntheticBagDataset(size=2 * B, fixdim=N, label_dim=4, seed=0,
+                             args=cfg)
+    return [batch_to_arrays(ds.batch(list(range(B)))),
+            batch_to_arrays(ds.batch(list(range(B, 2 * B))))]
+
+
+def _run_ours(cfg, model, arrays_list, teacher_model=None, teacher_vars=None):
+    tx = make_optimizer(cfg, steps_per_epoch=1)
+
+    class _B:  # minimal batch shim for init_model_state
+        pass
+
+    b = _B()
+    for k, v in arrays_list[0].items():
+        setattr(b, k, v)
+    state = init_model_state(model, cfg, b, tx)
+    step = jax.jit(make_train_step(model, cfg, tx, teacher_model))
+    losses = []
+    for k in range(K_STEPS):
+        state, m = step(state, arrays_list[k % len(arrays_list)],
+                        jax.random.PRNGKey(k), teacher_vars)
+        losses.append(float(m["loss"]))
+    return state, losses
+
+
+def _torch_opt(name, params):
+    if name == "adamw":
+        return torch.optim.AdamW(params, lr=LR, weight_decay=WD)
+    return torch.optim.Adam(params, lr=LR, weight_decay=WD)
+
+
+def _load_sd(ref_model, params, mode):
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_torch_state_dict(params, mode).items()}
+    missing, unexpected = ref_model.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+
+
+def _ce():
+    return torch.nn.CrossEntropyLoss(weight=torch.tensor(CE_W))
+
+
+def _t(a):
+    return torch.from_numpy(np.asarray(a))
+
+
+def _modulate_torch(classifier, f1, f2, labels):
+    g = classifier.weight.grad.numpy()
+    newg = torch_reference_modulate(
+        g, f1.detach().numpy(), f2.detach().numpy(),
+        classifier.weight.detach().numpy(),
+        classifier.bias.detach().numpy(), labels)
+    classifier.weight.grad = torch.from_numpy(newg)
+
+
+def _assert_trajectories(ours, theirs, final_pairs, tag,
+                         allow_discrete=False):
+    """Per-step loss parity with a drift-growing f32 tolerance, plus final
+    parameter agreement on the leaves that move the most (classifiers).
+
+    ``allow_discrete``: modes with DPC-KNN token clustering (student,
+    distillation) contain data-dependent argmax decisions; once the two
+    frameworks' f32 drift (observed ~1e-5 by step 5) crosses a cluster-
+    assignment tie, the trajectories discretely fork — BOTH sides are
+    correct, they just resolved the tie differently.  Semantic optimizer/
+    scheduler drift (what this test exists to catch) shows up as smoothly
+    GROWING per-step error from step 0; a tie flip shows up as a single
+    late jump after tight agreement.  So: a late (k >= 5) jump is allowed
+    for DPC modes, but everything before it must be tight, and the final-
+    param check is skipped (the forked trajectories legitimately differ)."""
+    print(f"\n[{tag}] ours  :", ["%.6f" % v for v in ours])
+    print(f"[{tag}] torch :", ["%.6f" % v for v in theirs])
+    forked_at = None
+    for k, (a, b) in enumerate(zip(ours, theirs)):
+        # step 0 verifies the export/loss math; later steps accumulate f32
+        # reassociation drift through deform attention + Adam normalization
+        tol = 2e-3 + 1.5e-3 * k
+        if abs(a - b) <= tol * max(1.0, abs(b)):
+            continue
+        assert allow_discrete and k >= 5, (
+            f"{tag} step {k}: ours={a} torch={b} (tol {tol})")
+        forked_at = k
+        break
+    if forked_at is not None:
+        print(f"[{tag}] DPC cluster-tie fork at step {forked_at}; "
+              "param check skipped (see docstring)")
+        return
+    for name, ours_leaf, torch_w in final_pairs:
+        a = np.asarray(ours_leaf)
+        bb = torch_w.detach().numpy()
+        rel = np.linalg.norm(a - bb) / max(np.linalg.norm(bb), 1e-9)
+        assert rel < 2e-3, f"{tag} final param {name}: rel L2 {rel}"
+
+
+def test_teacher_trajectory_matches_reference():
+    cfg = _cfg("teacher", "adamw")
+    batches = _batches(cfg)
+    model = define_net(cfg)
+    state, ours_losses = _run_ours(cfg, model, batches)
+
+    # ---- torch side: transcribes train_test.py:17-230 at world_size=1 ----
+    mod = _load_ref_model_py()
+    ref = mod.TeachersNet(_ref_args(path_cluster_num=RATIO))
+    ref.eval()
+    cfg2 = _cfg("teacher", "adamw")  # fresh init, same seed
+    state0 = init_model_state(model, cfg2, _shim(batches[0]),
+                              make_optimizer(cfg2, 1))
+    _load_sd(ref, state0.params, "teacher")
+    loss_mod = importlib.import_module("utils.loss")
+    odl = loss_mod.OmicDomainScaleLoss(B, 1)
+    ce = _ce()
+    opt = _torch_opt("adamw", ref.parameters())
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=K_STEPS,
+                                                       eta_min=0)
+    losses_t = []
+    for k in range(K_STEPS):
+        arr = batches[k % 2]
+        y = _t(arr["label"]).long()
+        fd, ad, ld, hd, Sd, rd = ref(x_path10=_t(arr["x_path10"]),
+                                     x_path20=_t(arr["x_path20"]),
+                                     x_omic_tumor=_t(arr["x_omic_tumor"]),
+                                     x_omic_immune=_t(arr["x_omic_immune"]))
+        taskloss = (ce(ld["logits_tea10"].float(), y[:, 5])
+                    + ce(ld["logits_tea20"].float(), y[:, 5]))
+        batchloss = torch.sum(odl(ad["att1_tea10"], ad["att1_tea20"],
+                                  ad["att2_tea10"], ad["att2_tea20"]))
+        loss = taskloss + batchloss
+        opt.zero_grad()
+        loss.backward()
+        labels = np.asarray(arr["label"])[:, 5]
+        _modulate_torch(ref.teacher10_net.classifier, fd["feature1_tea10"],
+                        fd["feature2_tea10"], labels)
+        _modulate_torch(ref.teacher20_net.classifier, fd["feature1_tea20"],
+                        fd["feature2_tea20"], labels)
+        opt.step()
+        sched.step()
+        losses_t.append(float(loss.item()))
+
+    _assert_trajectories(
+        ours_losses, losses_t,
+        [("teacher10.classifier",
+          np.asarray(state.params["teacher10_net"]["classifier"]["kernel"]).T,
+          ref.teacher10_net.classifier.weight),
+         ("teacher20.classifier",
+          np.asarray(state.params["teacher20_net"]["classifier"]["kernel"]).T,
+          ref.teacher20_net.classifier.weight)],
+        "teacher")
+
+
+def _shim(arrays):
+    class _B:
+        pass
+
+    b = _B()
+    for k, v in arrays.items():
+        setattr(b, k, v)
+    return b
+
+
+def _pin_torch_rand(shape_noise):
+    orig = torch.rand
+
+    def fake(*a, **kw):
+        return torch.from_numpy(shape_noise.astype(np.float32))
+
+    torch.rand = fake
+    return orig
+
+
+def test_student_trajectory_matches_reference():
+    cfg = _cfg("student", "adam")  # adam covers L2-into-grad weight decay
+    batches = _batches(cfg)
+    model = define_net(cfg)
+    state, ours_losses = _run_ours(cfg, model, batches)
+
+    mod = _load_ref_model_py()
+    ref = mod.StudentsNet(_ref_args(path_cluster_num=RATIO))
+    ref.eval()
+    state0 = init_model_state(model, _cfg("student", "adam"),
+                              _shim(batches[0]), make_optimizer(cfg, 1))
+    _load_sd(ref, state0.params, "student")
+    loss_mod = importlib.import_module("utils.loss")
+    pbl = loss_mod.PathBatchLoss(B, 1)
+    ce = _ce()
+    opt = _torch_opt("adam", ref.parameters())
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=K_STEPS,
+                                                       eta_min=0)
+    noise = np.asarray(jax.random.uniform(jax.random.PRNGKey(0), (B, N)))
+    losses_t = []
+    orig_rand = _pin_torch_rand(noise)
+    try:
+        for k in range(K_STEPS):
+            arr = batches[k % 2]
+            y = _t(arr["label"]).long()
+            fd, ad, ld, hd, Sd, rd = ref(x_path10=_t(arr["x_path10"]),
+                                         x_path20=_t(arr["x_path20"]))
+            taskloss = (ce(ld["logits_stu10"].float(), y[:, 5])
+                        + ce(ld["logits_stu20"].float(), y[:, 5]))
+            batchloss = 1000 * torch.sum(pbl(ad["att_stu10"],
+                                             ad["att_stu20"]))
+            loss = taskloss + batchloss
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            sched.step()
+            losses_t.append(float(loss.item()))
+    finally:
+        torch.rand = orig_rand
+
+    _assert_trajectories(
+        ours_losses, losses_t,
+        [("student10.classifier",
+          np.asarray(state.params["student10_net"]["classifier"]["kernel"]).T,
+          ref.student10_net.classifier.weight)],
+        "student", allow_discrete=True)
+
+
+def test_distillation_trajectory_matches_reference():
+    cfg = _cfg("distillation", "adamw")
+    batches = _batches(cfg)
+    student, teacher = define_net(cfg)
+    tcfg = _cfg("teacher", "adamw")
+    teacher_state = init_model_state(teacher, tcfg, _shim(batches[0]),
+                                     make_optimizer(tcfg, 1), mode="teacher")
+    teacher_vars = {"params": teacher_state.params}
+    state, ours_losses = _run_ours(cfg, student, batches,
+                                   teacher_model=teacher,
+                                   teacher_vars=teacher_vars)
+
+    mod = _load_ref_model_py()
+    ref_t = mod.TeachersNet(_ref_args(path_cluster_num=RATIO))
+    ref_s = mod.StudentsNet(_ref_args(path_cluster_num=RATIO))
+    ref_t.eval()
+    ref_s.eval()
+    _load_sd(ref_t, teacher_state.params, "teacher")
+    state0 = init_model_state(student, _cfg("distillation", "adamw"),
+                              _shim(batches[0]), make_optimizer(cfg, 1))
+    _load_sd(ref_s, state0.params, "student")
+    loss_mod = importlib.import_module("utils.loss")
+    dl = loss_mod.DistillationLoss(temperature=2.0)
+    ce = _ce()
+    opt = _torch_opt("adamw", ref_s.parameters())
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=K_STEPS,
+                                                       eta_min=0)
+    noise = np.asarray(jax.random.uniform(jax.random.PRNGKey(0), (B, N)))
+    losses_t = []
+    orig_rand = _pin_torch_rand(noise)
+    try:
+        for k in range(K_STEPS):
+            arr = batches[k % 2]
+            y = _t(arr["label"]).long()
+            with torch.no_grad():
+                fd_t, _, ld_t, _, _, _ = ref_t(
+                    x_path10=_t(arr["x_path10"]),
+                    x_path20=_t(arr["x_path20"]),
+                    x_omic_tumor=_t(arr["x_omic_tumor"]),
+                    x_omic_immune=_t(arr["x_omic_immune"]))
+                ft10 = torch.cat((fd_t["feature1_tea10"],
+                                  fd_t["feature2_tea10"]), dim=-1)
+                ft20 = torch.cat((fd_t["feature1_tea20"],
+                                  fd_t["feature2_tea20"]), dim=-1)
+            fd_s, ad_s, ld_s, _, _, _ = ref_s(x_path10=_t(arr["x_path10"]),
+                                              x_path20=_t(arr["x_path20"]))
+            taskloss = (ce(ld_s["logits_stu10"].float(), y[:, 5])
+                        + ce(ld_s["logits_stu20"].float(), y[:, 5]))
+            dlogits = (dl(ld_s["logits_stu10"], ld_t["logits_tea10"])
+                       + dl(ld_s["logits_stu20"], ld_t["logits_tea20"]))
+            dfeat = (F.mse_loss(fd_s["feature_stu10"], ft10)
+                     + F.mse_loss(fd_s["feature_stu20"], ft20))
+            loss = taskloss + 0.01 * dlogits + 0.01 * dfeat
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            sched.step()
+            losses_t.append(float(loss.item()))
+    finally:
+        torch.rand = orig_rand
+
+    _assert_trajectories(
+        ours_losses, losses_t,
+        [("student10.classifier",
+          np.asarray(state.params["student10_net"]["classifier"]["kernel"]).T,
+          ref_s.student10_net.classifier.weight)],
+        "distillation", allow_discrete=True)
+
+
+def test_deformpathomic_trajectory_matches_reference():
+    cfg = _cfg("deformpathomic", "adam")
+    batches = _batches(cfg)
+    model = define_net(cfg)
+    state, ours_losses = _run_ours(cfg, model, batches)
+
+    mod = _load_ref_model_py()
+    ref = mod.DeformPathomicNet(_ref_args(task_type="diag2021"))
+    ref.eval()
+    state0 = init_model_state(model, _cfg("deformpathomic", "adam"),
+                              _shim(batches[0]), make_optimizer(cfg, 1))
+    _load_sd(ref, state0.params, "deformpathomic")
+    loss_mod = importlib.import_module("utils.loss")
+    bl = loss_mod.BatchLoss(B, 1)
+    ce = _ce()
+    opt = _torch_opt("adam", ref.parameters())
+    # the reference steps this trainer's scheduler per EPOCH
+    # (train_test.py:1029); at steps_per_epoch=1 per-step == per-epoch
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=K_STEPS,
+                                                       eta_min=0)
+    losses_t = []
+    for k in range(K_STEPS):
+        arr = batches[k % 2]
+        y = _t(arr["label"]).long()
+        out = ref(x_path=_t(arr["x_path10"]), x_omic=_t(arr["x_omic"]),
+                  x_omic_tumor=_t(arr["x_omic_tumor"]),
+                  x_omic_immune=_t(arr["x_omic_immune"]))
+        fuse_feat, feat_t, feat_i, logits = out[0], out[1], out[2], out[3]
+        loss3 = ce(logits[2], y[:, 5])
+        bs_t = torch.sum(bl(logits[3], logits[4]))
+        bs_i = torch.sum(bl(logits[5], logits[6]))
+        loss = loss3 + 0.5 * bs_t + 0.5 * bs_i
+        opt.zero_grad()
+        loss.backward()
+        labels = np.asarray(arr["label"])[:, 5]
+        _modulate_torch(ref.classifier, feat_t, feat_i, labels)
+        opt.step()
+        sched.step()
+        losses_t.append(float(loss.item()))
+
+    _assert_trajectories(
+        ours_losses, losses_t,
+        [("classifier",
+          np.asarray(state.params["classifier"]["kernel"]).T,
+          ref.classifier.weight)],
+        "deformpathomic")

@@ -271,7 +271,11 @@ def _fwd_call(kernel, tablep, idx, frac):
 
 
 def _timed(fn, *args, iters=ITERS):
-    """Chained scan x iters, one readback minus empty roundtrip."""
+    """Chained scan x iters, one readback.  NOTE: the dispatch+readback
+    overhead (~28 ms roundtrip) is AMORTIZED over iters, not subtracted —
+    so at ITERS=30 the reported ms/iter carry ~1 ms of overhead.  Absolute
+    numbers are therefore inflated; A/B rankings are unaffected because the
+    overhead is identical across variants."""
     @jax.jit
     def chained(tablep, *rest):
         def body(tp, _):
