@@ -2189,23 +2189,24 @@ def _tbl_d1_bwd_kernel(idx_ref, frac_ref, tab_ref, db_ref, dtab_ref,
         dw = db_ref[g]                                     # [side, side]
         t = tab_ref[pl.ds(b0, win), :]
         r1 = pltpu.roll(t, win - rem, axis=0)
-        r2 = pltpu.roll(t, win - rem - 1, axis=0)
+        r2 = pltpu.roll(r1, win - 1, axis=0)
         dyt = r2 - r1                                      # d(y-blend)/dfy
         ty = r1 * (1.0 - fy) + r2 * fy
         dwpad = jnp.pad(dw, ((0, win - side), (0, cn - side)))
         s = pltpu.roll(dwpad, ox, axis=1)                  # x-tap 0 frame
-        s2 = pltpu.roll(dwpad, ox + 1, axis=1)             # x-tap 1 frame
-        u = s * ((1.0 - fy) * (1.0 - fx)) + s2 * ((1.0 - fy) * fx)
-        v = s * (fy * (1.0 - fx)) + s2 * (fy * fx)
-        # shift cotangents WITHOUT reconstructing the gathered windows:
-        # sum(dw * roll(X, cn-ox)) == sum(roll(dwpad, ox) * X), so the
-        # x-blend derivative contracts (s2 - s) against ty and the y-blend
-        # derivative contracts the x-scattered dw (= u + v) against dyt —
-        # everything in table lane frame, reusing the RMW's scatter rolls.
+        s2 = pltpu.roll(s, 1, axis=1)                      # x-tap 1 frame
+        # algebraic fold (r4, tools/exp_tbl_scatter.py variant G, the
+        # measured best): ONE x-blended cotangent m = s*(1-fx) + s2*fx
+        # feeds dfy AND both scatter rows — two fewer [win, cn] passes per
+        # row than blending u/v separately.  Shift cotangents contract in
+        # table lane frame without reconstructing the gathered windows:
+        # sum(dw * roll(X, cn-ox)) == sum(roll(dwpad, ox) * X).
+        m = s * (1.0 - fx) + s2 * fx
         dfx = _tbl_sum2d((s2 - s) * ty)
-        dfy = _tbl_sum2d((u + v) * dyt)
+        dfy = _tbl_sum2d(m * dyt)
         dsh_rows.append(jnp.concatenate([dfy, dfx], axis=1))  # [1, 2]
-        w = pltpu.roll(u, rem, axis=0) + pltpu.roll(v, rem + 1, axis=0)
+        mr = pltpu.roll(m, rem, axis=0)
+        w = mr * (1.0 - fy) + pltpu.roll(mr, 1, axis=0) * fy
         cur = dtab_ref[pl.ds(b0, win), :]
         dtab_ref[pl.ds(b0, win), :] = cur + w
     dsh_ref[...] = jnp.concatenate(dsh_rows, axis=0)       # [_TBL_ROWS, 2]

@@ -92,3 +92,32 @@ def test_deformpathomic_learns_separable_synthetic():
     losses, auc = _train_and_eval("deformpathomic", gradient_modulate=True,
                                   return_vgrid=True)
     _assert_learned(losses, auc)
+
+
+def test_divisor1_table_cpb_converges_like_exact():
+    """Long-horizon validation of the production cpb_table_divisor=1
+    approximation (VERDICT r3 weak #2): train the teacher to convergence on
+    the separable task at divisor 0 (exact CPB) and divisor 1 (the
+    operating point the presets ship), same seeds/batches, and require the
+    end state to match — final held-out AUC within seed noise and the
+    late-training loss plateau within a few percent.  Slow divergence of
+    the 4.1e-3-max bias approximation would show up here as a drifting
+    plateau; the on-chip counterpart is tools/tpu_train_check.py --steps
+    1000 (PERF.md records the result)."""
+    losses0, auc0 = _train_and_eval("teacher", gradient_modulate=True,
+                                    multiscale_attention=True,
+                                    cpb_table_divisor=0)
+    losses1, auc1 = _train_and_eval("teacher", gradient_modulate=True,
+                                    multiscale_attention=True,
+                                    cpb_table_divisor=1)
+    _assert_learned(losses0, auc0)
+    _assert_learned(losses1, auc1)
+    assert abs(auc0 - auc1) < 0.02, (auc0, auc1)
+    tail0 = float(losses0[-20:].mean())
+    tail1 = float(losses1[-20:].mean())
+    assert abs(tail0 - tail1) < 0.05 * max(abs(tail0), 0.1), (tail0, tail1)
+    # early training must track closely too (the approximation is not just
+    # "eventually converges", it follows the same trajectory)
+    head = np.abs(losses0[:50] - losses1[:50]) / np.maximum(
+        np.abs(losses0[:50]), 0.1)
+    assert float(head.mean()) < 0.02, float(head.mean())

@@ -36,7 +36,11 @@ def check(mode: str, overrides=None) -> float:
               multiscale_attention=True)
     if mode in ("teacher", "deformpathomic"):
         kw.update(gradient_modulate=True)
-    kw.update(overrides or {})
+    overrides = dict(overrides or {})
+    # check_epochs=N: horizon override (25 epochs x 8 steps = 200 steps
+    # default; 125 -> the 1000-step divisor-1 long-horizon check, PERF.md)
+    n_epochs = int(overrides.pop("check_epochs", 25))
+    kw.update(overrides)
     cfg = Config(**kw).validate()
     ds = SyntheticBagDataset(size=32, fixdim=FIX, label_dim=4, seed=0,
                              args=cfg)
@@ -68,7 +72,7 @@ def check(mode: str, overrides=None) -> float:
     rng = jax.random.PRNGKey(0)
     losses = []
     t0 = time.time()
-    for epoch in range(25):
+    for epoch in range(n_epochs):
         state, rng, ls = epoch_fn(state, rng, stacked)
         losses.append(ls)
         if epoch % 5 == 0:
