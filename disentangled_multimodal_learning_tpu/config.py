@@ -219,6 +219,16 @@ class Config:
     # PERF.md).  0 = exact (default).  Divisor 4: bias error ~1e-3 of its
     # dynamic range (tools/exp_cpb_table_acc.py).
     cpb_table_divisor: int = 0
+    # v10 fused table attention (TPU, divisor-1 kn path only): interpolate
+    # the bias windows INSIDE the attention kernel (sim+softmax+dropout+PV
+    # in one pallas call) instead of materializing [BH, K, N] bias in HBM.
+    # MEASURED SLOWER at the production operating point and kept opt-in:
+    # fwd 1.13 vs 0.70 ms, grad 3.40 vs 1.53 ms per attention
+    # (tools/exp_v10_fwdbwd.py), teacher train step 206 vs 283 bags/s
+    # (tools/exp_v10_e2e.py) — the d1 interp output already streams at
+    # HBM bandwidth and XLA's attention pipeline beats the in-kernel
+    # VPU window placement.  Golden-tested against the unfused path.
+    fused_table_attention: bool = False
 
     # task
     task_type: str = "diag2021"

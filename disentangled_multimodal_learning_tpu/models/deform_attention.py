@@ -95,6 +95,18 @@ CPB_KERNEL_VERSION = "v1"
 # ~1e-3 of its dynamic range; post-softmax error ~1e-5 at init-scale
 # weights — below the accepted bf16 matmul noise).
 CPB_TABLE_DIVISOR = 0
+# v10 (r4): at divisor 1 on TPU, fuse the window interpolation INTO the
+# attention kernel (sim+softmax+dropout+PV in one pallas call, windows
+# placed by static lane rolls).  MEASURED SLOWER than the unfused d1 path
+# (teacher step -27%, fwd +63%, grad +123% — tools/exp_v10_{e2e,fwdbwd}.py;
+# PERF.md "v10") and therefore OFF by default: the d1 interp output already
+# streams at HBM bandwidth and XLA's attention pipeline beats the in-kernel
+# VPU window placement.  Kept opt-in + golden-tested like the other losing
+# variants.  cfg.fused_table_attention sets this via the factory;
+# DeformCrossAttention2D.fused_table overrides per module.
+FUSED_TABLE_ATTENTION = False
+# force the v10 kernel in interpret mode off-TPU (CPU golden tests only)
+V10_INTERPRET = False
 
 
 def resolve_attn_layout(layout: str) -> str:
@@ -165,7 +177,7 @@ class CPB(nn.Module):
 
     @nn.compact
     def __call__(self, grid_q: jnp.ndarray, grid_kv: jnp.ndarray, *,
-                 transposed: bool = False) -> jnp.ndarray:
+                 transposed: bool = False, table_parts: bool = False):
         if grid_kv.ndim == 4:  # unfused [B, G, Nk, P]
             b = grid_kv.shape[0]
             assert grid_kv.shape[1] == self.offset_groups
@@ -190,6 +202,18 @@ class CPB(nn.Module):
                      and out_per_group == 1 and self.depth == 2
                      and self.log_distance and self.table_side >= 2
                      and self.table_side ** 2 == grid_q.shape[0])
+        if table_parts:
+            # v10 fused-attention path: hand back the differentiable table
+            # build + shifts; the interpolation happens inside the fused
+            # attention kernel (ops/pallas/deform_attn.py v10 section)
+            assert use_table and self.table_divisor == 1
+            from ..ops.pallas.deform_attn import cpb_bias_table_parts
+
+            gkv = (grid_kv.reshape(-1, *grid_kv.shape[-2:])
+                   if grid_kv.ndim == 4 else grid_kv)
+            return cpb_bias_table_parts(
+                gkv, w1, b1, w2, b2, w3, b3, side=self.table_side,
+                kv_bound=self.table_kv_bound)
         if use_table:
             from ..ops.pallas.deform_attn import cpb_bias_table
 
@@ -366,6 +390,8 @@ class DeformCrossAttention2D(nn.Module):
     # table-interpolated CPB (approximate, see CPB_TABLE_DIVISOR): -1 = use
     # the module-level global (set from cfg.cpb_table_divisor); 0 = exact
     cpb_table_divisor: int = -1
+    # v10 fused table attention (see FUSED_TABLE_ATTENTION): -1 = global
+    fused_table: int = -1
 
     @nn.compact
     def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, *, return_vgrid: bool = False,
@@ -443,7 +469,40 @@ class DeformCrossAttention2D(nn.Module):
                   table_divisor=(tbl_div if min(gh, gw) > 1 else 0),
                   table_side=side, table_kv_bound=tbl_bound,
                   name="rel_pos_bias")
-        if layout == "kn":
+        fused_tbl = (FUSED_TABLE_ATTENTION if self.fused_table < 0
+                     else bool(self.fused_table))
+        from ..ops.pallas.deform_attn import v10_supported
+        use_v10 = (fused_tbl and layout == "kn" and tbl_div == 1
+                   and min(gh, gw) > 1 and H == G
+                   and v10_supported(N, side)
+                   and (jax.default_backend() == "tpu" or V10_INTERPRET))
+        if use_v10:
+            # v10: window interpolation + sim + softmax + dropout + PV in
+            # ONE pallas call (kn layout); the bias never exists in HBM in
+            # any layout.  Math identical to the kn branch below with the
+            # table CPB (golden-tested against it).
+            from ..ops.pallas.deform_attn import fused_table_attention
+
+            tablep, shifts, rn, tsplit = cpb(grid_q, pts, transposed=True,
+                                             table_parts=True)
+            rate = 0.0 if deterministic else float(self.dropout)
+            if rate > 0.0:
+                # float32 seed: the custom VJP emits a float cotangent for
+                # every tensor input (int inputs would need float0); the
+                # kernel re-derives int32 from it identically in fwd and bwd
+                seed = jax.random.randint(self.make_rng("dropout"), (), 0,
+                                          1 << 24).astype(jnp.float32)
+            else:
+                seed = jnp.zeros((), jnp.float32)
+            qf = qh.astype(jnp.float32).reshape(B * H, N, self.dim_head)
+            kf = kh.astype(jnp.float32).reshape(B * H, K, self.dim_head)
+            vf = vh.astype(jnp.float32).reshape(B * H, K, self.dim_head)
+            out, attn = fused_table_attention(qf, kf, vf, tablep, shifts,
+                                              seed, side, rn, tsplit, rate,
+                                              V10_INTERPRET)
+            out = out.reshape(B, H, N, self.dim_head)
+            attn_return = attn.reshape(B, H, K, N)
+        elif layout == "kn":
             # transposed layout: i = query, j = kv; sim/softmax/PV in
             # [B,H,Nk,Nq] so the transposed CPB kernel output is consumed
             # with zero relayouts

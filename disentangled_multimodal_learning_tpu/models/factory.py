@@ -26,6 +26,8 @@ def define_net(args):
     # table-interpolated CPB (approximate; 0 = exact).  Module-level knob:
     # the deformable attentions are built deep inside the model classes.
     _da.CPB_TABLE_DIVISOR = int(getattr(args, "cpb_table_divisor", 0))
+    _da.FUSED_TABLE_ATTENTION = bool(
+        getattr(args, "fused_table_attention", False))
     mode = args.mode
     common = dict(label_dim=args.label_dim)
     if mode == "path":

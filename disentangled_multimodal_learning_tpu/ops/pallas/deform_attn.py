@@ -1989,10 +1989,17 @@ def _tbl_read(tab_ref, b, side):
 
 
 def _tbl_sum2d(x):
-    """Full [S, L] -> [1, 1] sum (ones-matmul over sublanes, lane reduce)."""
+    """Full [S, L] -> [1, 1] sum (ones-matmul over sublanes, lane reduce).
+
+    MUST run at full-f32 precision: the shift-cotangent sums it feeds
+    cancel heavily (terms O(1), result O(1e-2)), so the TPU default
+    bf16-pass MXU truncation puts a ~5e-2 REL error on dsh (measured,
+    tools/exp_v10_dshprobe.py: default 4.8e-2, HIGHEST 2.4e-6; interpret
+    mode is f32-exact, which is why CPU goldens never caught it)."""
     r = jax.lax.dot_general(jnp.ones((1, x.shape[0]), jnp.float32), x,
                             (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
     return jnp.sum(r, axis=1, keepdims=True)
 
 
@@ -2304,6 +2311,43 @@ def _tbl_consts(side, divisor, kv_bound):
     return h, t0, rn, tn
 
 
+def cpb_bias_table_parts(grid_kv, w1, b1, w2, b2, w3, b3, *, side, kv_bound):
+    """The XLA (differentiable) part of the divisor-1 table CPB: MLP table
+    build + lane-split layout + continuous lattice shifts.  Returns
+    ``(tablep, shifts, rn, split)`` — the inputs of :func:`_table_interp`
+    and :func:`fused_table_attention` (v10)."""
+    assert w3.shape[1] == 1, "table CPB supports one output channel"
+    bh, k, _ = grid_kv.shape
+    h, t0, rn, tn = _tbl_consts(side, 1, kv_bound)
+    lattice = t0 + h * jnp.arange(tn, dtype=jnp.float32)
+    f = jnp.sign(lattice) * jnp.log1p(jnp.abs(lattice))
+    # Full-f32 matmuls: the table is tiny (~20k points) but every bias
+    # value interpolates from it, so TPU default (bf16-pass) precision
+    # would put a ~1e-2 error floor under the whole approximation.
+    dot = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+    hid = jnp.maximum(f[None, :, None] * w1[0] + f[:, None, None] * w1[1]
+                      + b1, 0.0)
+    hid = jnp.maximum(dot(hid, w2) + b2, 0.0)
+    t_full = (dot(hid, w3) + b3)[..., 0]                   # [tn, tn]
+    split = 0
+    if rn > 128 and rn <= 256 - side:
+        # lane-split layout: two stacked 128-lane copies (see _tbl_idx)
+        split = rn - 128
+        rpad = _tbl_split_rows(side, rn)
+        tablep = jnp.concatenate([
+            jnp.pad(t_full[:, :128], ((0, rpad - rn), (0, 0))),
+            jnp.pad(t_full[:, split:rn], ((0, rpad - rn), (0, 0))),
+        ], axis=0)                                         # [2*rpad, 128]
+    else:
+        cn = _round_up(rn, 128)
+        tablep = jnp.pad(t_full, ((0, _tbl_win_rows(side)), (0, cn - rn)))
+    ty = (-1.0 - grid_kv[..., 1] - t0) / h
+    tx = (-1.0 - grid_kv[..., 0] - t0) / h
+    shifts = jnp.stack([ty, tx], axis=-1).reshape(bh * k, 2)
+    return tablep, shifts, rn, split
+
+
 def cpb_bias_table(grid_kv, w1, b1, w2, b2, w3, b3, *, side, divisor,
                    kv_bound, interpret=False, use_kernel=None):
     """Approximate CPB bias on the standard normalized query grid
@@ -2318,42 +2362,33 @@ def cpb_bias_table(grid_kv, w1, b1, w2, b2, w3, b3, *, side, divisor,
     the shift computation respectively."""
     assert w3.shape[1] == 1, "table CPB supports one output channel"
     bh, k, _ = grid_kv.shape
-    h, t0, rn, tn = _tbl_consts(side, divisor, kv_bound)
-    lattice = t0 + h * jnp.arange(tn, dtype=jnp.float32)
-    f = jnp.sign(lattice) * jnp.log1p(jnp.abs(lattice))
-    # T_full[a, b] = MLP(fx=f[b], fy=f[a])  (rows = dy, cols = dx).
-    # Full-f32 matmuls: the table is tiny (~300k points) but every bias
-    # value interpolates from it, so TPU default (bf16-pass) precision
-    # would put a ~1e-2 error floor under the whole approximation.
-    dot = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)
-    hid = jnp.maximum(f[None, :, None] * w1[0] + f[:, None, None] * w1[1]
-                      + b1, 0.0)
-    hid = jnp.maximum(dot(hid, w2) + b2, 0.0)
-    t_full = (dot(hid, w3) + b3)[..., 0]                   # [tn, tn]
-    split = 0
-    if divisor == 1 and rn > 128 and rn <= 256 - side:
-        # lane-split layout: two stacked 128-lane copies (lanes [0, 128)
-        # and [rn-128, rn)) so every lane-wise kernel pass runs at 128
-        # lanes instead of the 256 rn would pad to.  All slices/pads are
-        # linear XLA ops, so the table cotangent recombines via autodiff.
-        split = rn - 128
-        rpad = _tbl_split_rows(side, rn)
-        tablep = jnp.concatenate([
-            jnp.pad(t_full[:, :128], ((0, rpad - rn), (0, 0))),
-            jnp.pad(t_full[:, split:rn], ((0, rpad - rn), (0, 0))),
-        ], axis=0)                                         # [2*rpad, 128]
+    if divisor == 1:
+        tablep, shifts, rn, split = cpb_bias_table_parts(
+            grid_kv, w1, b1, w2, b2, w3, b3, side=side, kv_bound=kv_bound)
     else:
+        h, t0, rn, tn = _tbl_consts(side, divisor, kv_bound)
+        lattice = t0 + h * jnp.arange(tn, dtype=jnp.float32)
+        f = jnp.sign(lattice) * jnp.log1p(jnp.abs(lattice))
+        # T_full[a, b] = MLP(fx=f[b], fy=f[a])  (rows = dy, cols = dx).
+        # Full-f32 matmuls: see cpb_bias_table_parts.
+        dot = functools.partial(jnp.matmul,
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+        hid = jnp.maximum(f[None, :, None] * w1[0] + f[:, None, None] * w1[1]
+                          + b1, 0.0)
+        hid = jnp.maximum(dot(hid, w2) + b2, 0.0)
+        t_full = (dot(hid, w3) + b3)[..., 0]               # [tn, tn]
+        split = 0
         tablep = t_full.reshape(rn, divisor, rn, divisor)
         tablep = tablep.transpose(1, 3, 0, 2).reshape(
             divisor * divisor * rn, rn)
         cn = _round_up(rn, 128)
         # row pad: headroom for the kernel's 8-aligned sublane window loads
         tablep = jnp.pad(tablep, ((0, _tbl_win_rows(side)), (0, cn - rn)))
-    # shifts in lattice units: first query coord is -1 on both axes
-    ty = (-1.0 - grid_kv[..., 1] - t0) / h
-    tx = (-1.0 - grid_kv[..., 0] - t0) / h
-    shifts = jnp.stack([ty, tx], axis=-1).reshape(bh * k, 2)
+        # shifts in lattice units: first query coord is -1 on both axes
+        ty = (-1.0 - grid_kv[..., 1] - t0) / h
+        tx = (-1.0 - grid_kv[..., 0] - t0) / h
+        shifts = jnp.stack([ty, tx], axis=-1).reshape(bh * k, 2)
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
     if use_kernel:
@@ -2551,3 +2586,402 @@ def cpb_bias_table_1d(grid_kv, w1, b1, w2, b2, w3, b3, *, n_q, kv_bound,
     else:
         wins = _tbl1_interp_ref(table, shifts, n_q, tn)
     return wins.reshape(bh, k, n_out, n_q).transpose(0, 2, 1, 3)
+
+
+# ===========================================================================
+# v10: fused divisor-1 table attention (windows + sim + softmax + PV + attn)
+# ===========================================================================
+# The r4 anatomy measurement (tools/exp_attn_anatomy.py) showed the v9
+# production path's dominant cost is NOT compute but the XLA relayout of the
+# interpolated bias from window layout [R, side, side] to the attention's
+# [BH, K, N] row layout (~0.56 ms of the ~0.9 ms attention forward): a
+# [*, 50, 50] array tiles (8, 128) on its minor dims, so the reshape
+# physically rewrites 118 MB of padded tiles into 46 MB of dense rows.
+#
+# v10 removes the relayout entirely by fusing the divisor-1 window
+# interpolation INTO the attention kernel: per (b*h) grid step the K bias
+# windows are built once into a VMEM scratch (one 8-aligned table load +
+# four rolls each, exactly `_tbl_d1_fwd_kernel`'s math), and the query axis
+# is processed in 256-lane groups — sim is one [K,D]x[D,256] MXU
+# contraction per group, the window rows intersecting the group are placed
+# by static lane roll+mask (side and the group grid are static, so every
+# placement is a compile-time constant), softmax reduces over sublanes, and
+# PV contracts sublanes back to [256, D].  All stores (out rows, attn
+# lanes) land on 128-aligned boundaries by construction.  The backward
+# reads the attn residual, runs the same group loop in reverse (softmax/PV
+# backward), re-splits ds into per-(k, qy) window cotangents, and finishes
+# with the in-kernel divisor-1 interp backward (the m-fold of
+# `_tbl_d1_bwd_kernel`), accumulating the table cotangent across the whole
+# grid and emitting per-row shift cotangents.  Nothing but q/k/v/out/attn
+# ever touches HBM.
+#
+# Semantics are identical to the composition it replaces
+# (cpb_bias_table -> reshape -> sim+softmax+dropout+PV in
+# models/deform_attention.py's kn branch); golden tests compare both.
+
+_V10_GROUP = 256  # query-lane group width (multiple of 128: aligned stores)
+
+
+def _v10_groups(n, side=1):
+    groups, off = [], 0
+    while off < n:
+        groups.append((off, min(_V10_GROUP, n - off)))
+        off += _V10_GROUP
+    # a group narrower than one window row would crop window lanes in
+    # _v10_place before the roll; impossible at the production N=2500
+    # (last group 196 >= side 50) and guarded for everything else
+    assert groups[-1][1] >= side, (
+        f"v10 needs the last query group (N % {_V10_GROUP} = "
+        f"{groups[-1][1]}) to be >= side ({side})")
+    return groups
+
+
+def _v10_pieces(off, w, side):
+    """Static placements of window rows qy into group lanes [off, off+w):
+    (qy, dst, lo, hi) with dst = qy*side - off, target lanes [lo, hi)."""
+    out = []
+    for qy in range(max(off // side, 0), min((off + w - 1) // side, side - 1) + 1):
+        dst = qy * side - off
+        lo, hi = max(dst, 0), min(dst + side, w)
+        if hi > lo:
+            out.append((qy, dst, lo, hi))
+    return out
+
+
+def _v10_win_mask(win, cn, side):
+    sub = jax.lax.broadcasted_iota(jnp.int32, (win, cn), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (win, cn), 1)
+    return ((sub < side) & (lane < side)).astype(jnp.float32)
+
+
+def _v10_build_window(tab_ref, b, ox, fy, fx, side, mask_win):
+    """One masked divisor-1 bias window [win, cn] (math of
+    :func:`_tbl_d1_fwd_kernel`)."""
+    win = mask_win.shape[0]
+    cn = tab_ref.shape[1]
+    b0 = (b // 8) * 8
+    rem = b - b0
+    t = tab_ref[pl.ds(b0, win), :]
+    r1 = pltpu.roll(t, win - rem, axis=0)
+    r2 = pltpu.roll(t, win - rem - 1, axis=0)
+    ty = r1 * (1.0 - fy) + r2 * fy
+    l1 = pltpu.roll(ty, cn - ox, axis=1)
+    l2 = pltpu.roll(ty, cn - ox - 1, axis=1)
+    return (l1 * (1.0 - fx) + l2 * fx) * mask_win
+
+
+def _v10_place(piece, w, dst, lo, hi):
+    """[K, cn] window rows -> [K, w] group lanes at [lo, hi) (static)."""
+    kk, cn = piece.shape
+    if w > cn:
+        piece = jnp.concatenate([piece, jnp.zeros((kk, w - cn), jnp.float32)],
+                                axis=1)
+    elif w < cn:
+        piece = piece[:, :w]
+    piece = pltpu.roll(piece, dst % w, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (kk, w), 1)
+    return piece * ((lane >= lo) & (lane < hi)).astype(jnp.float32)
+
+
+def _v10_extract(ds_g, dst, lo, hi, cn):
+    """[K, w] group-lane cotangents [lo, hi) -> [K, cn] window lanes."""
+    kk, w = ds_g.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (kk, w), 1)
+    piece = ds_g * ((lane >= lo) & (lane < hi)).astype(jnp.float32)
+    piece = pltpu.roll(piece, (-dst) % w, axis=1)
+    if w > cn:
+        return piece[:, :cn]
+    if w < cn:
+        return jnp.concatenate([piece, jnp.zeros((kk, cn - w), jnp.float32)],
+                               axis=1)
+    return piece
+
+
+def _v10_fwd_kernel(seed_ref, idx_ref, frac_ref, tab_ref, q_ref, k_ref,
+                    v_ref, out_ref, attn_ref, w_scratch, *, side,
+                    dropout_rate):
+    bh = pl.program_id(0)
+    K = k_ref.shape[1]
+    N = q_ref.shape[1]
+    cn = tab_ref.shape[1]
+    win = _tbl_win_rows(side)
+    mask_win = _v10_win_mask(win, cn, side)
+
+    def build(r, _):
+        b = idx_ref[0, r, 0]
+        ox = idx_ref[0, r, 4]
+        fy = frac_ref[0, r, 0]
+        fx = frac_ref[0, r, 1]
+        w_scratch[pl.ds(r, 1)] = _v10_build_window(
+            tab_ref, b, ox, fy, fx, side, mask_win)[None]
+        return 0
+
+    jax.lax.fori_loop(0, K, build, 0)
+
+    k = k_ref[0]                                       # [K, D]
+    v = v_ref[0]
+    for gi, (off, w) in enumerate(_v10_groups(N, side)):
+        qg = q_ref[0, off:off + w, :]                  # [w, D] (pre-scaled)
+        sim = jax.lax.dot_general(k, qg, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        for qy, dst, lo, hi in _v10_pieces(off, w, side):
+            sim = sim + _v10_place(w_scratch[:, qy, :], w, dst, lo, hi)
+        p = _kn_softmax(sim, K)                        # [K, w]
+        attn_ref[0, :, off:off + w] = p                # pre-dropout residual
+        if dropout_rate > 0.0:
+            mask = _kn_dropout_mask(seed_ref, bh * 131 + gi, p.shape,
+                                    dropout_rate)
+            p = p * mask * (1.0 / (1.0 - dropout_rate))
+        out_ref[0, off:off + w, :] = jax.lax.dot_general(
+            p, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _v10_bwd_kernel(seed_ref, idx_ref, frac_ref, tab_ref, q_ref, k_ref,
+                    v_ref, attn_ref, gout_ref, gattn_ref,
+                    dq_ref, dk_ref, dv_ref, dtab_ref, dsh_ref,
+                    dw_scratch, dsh_scratch, *, side, dropout_rate,
+                    with_gattn):
+    bh = pl.program_id(0)
+
+    @pl.when(bh == 0)
+    def _():
+        dtab_ref[...] = jnp.zeros_like(dtab_ref)
+
+    K = k_ref.shape[1]
+    N = q_ref.shape[1]
+    cn = tab_ref.shape[1]
+    win = _tbl_win_rows(side)
+    dw_scratch[...] = jnp.zeros_like(dw_scratch)
+
+    k = k_ref[0]
+    v = v_ref[0]
+    dk_acc = jnp.zeros_like(k)
+    dv_acc = jnp.zeros_like(v)
+    for gi, (off, w) in enumerate(_v10_groups(N, side)):
+        p = attn_ref[0, :, off:off + w]                # [K, w] pre-dropout
+        gout = gout_ref[0, off:off + w, :]             # [w, D]
+        if dropout_rate > 0.0:
+            mask = _kn_dropout_mask(seed_ref, bh * 131 + gi, p.shape,
+                                    dropout_rate)
+            scale = 1.0 / (1.0 - dropout_rate)
+            p_used = p * mask * scale
+        else:
+            p_used = p
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p_used, gout, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(v, gout, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            dp = dp * mask * scale
+        if with_gattn:
+            dp = dp + gattn_ref[0, :, off:off + w]
+        # VPU f32 reduction, NOT a ones-matmul: softmax backward relies on
+        # exact per-query cancellation (sum_k ds == 0); the MXU's default
+        # bf16-pass rounding breaks it and the error accumulates into the
+        # table cotangent's global sum (CPB out-bias grad: 0.17 noise on a
+        # ~7e-6 true value vs 9e-4 for the unfused path — /tmp/v10_b3diag2)
+        colsum = jnp.sum(p * dp, axis=0, keepdims=True)
+        ds = p * (dp - colsum)                         # [K, w]
+        dq_ref[0, off:off + w, :] = jax.lax.dot_general(
+            ds, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q_ref[0, off:off + w, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for qy, dst, lo, hi in _v10_pieces(off, w, side):
+            dw_scratch[:, qy, :] = dw_scratch[:, qy, :] + _v10_extract(
+                ds, dst, lo, hi, cn)
+    dk_ref[0] = dk_acc
+    dv_ref[0] = dv_acc
+
+    # ---- divisor-1 interp backward over the K window cotangents ----------
+    # (the m-fold of _tbl_d1_bwd_kernel; dw rows are already window-frame
+    # [side, side] with zeros elsewhere, so no pad step)
+    def ibwd(r, _):
+        b = idx_ref[0, r, 0]
+        ox = idx_ref[0, r, 4]
+        fy = frac_ref[0, r, 0]
+        fx = frac_ref[0, r, 1]
+        b0 = (b // 8) * 8
+        rem = b - b0
+        dw = dw_scratch[pl.ds(r, 1)][0]                # [win, cn]
+        t = tab_ref[pl.ds(b0, win), :]
+        r1 = pltpu.roll(t, win - rem, axis=0)
+        r2 = pltpu.roll(r1, win - 1, axis=0)
+        dyt = r2 - r1
+        ty = r1 * (1.0 - fy) + r2 * fy
+        s = pltpu.roll(dw, ox, axis=1)
+        s2 = pltpu.roll(s, 1, axis=1)
+        m = s * (1.0 - fx) + s2 * fx
+        dfx = _tbl_sum2d((s2 - s) * ty)
+        dfy = _tbl_sum2d(m * dyt)
+        # 3-D scratch, K on the LEADING (untiled) axis: Mosaic only allows
+        # dynamic SUBLANE offsets at multiples of 8, so a 2-D [K, 2] scratch
+        # indexed at row r would mis-lower; leading-axis dynamic stores are
+        # exact (tools/exp_v10_dshprobe.py variant B).  The on-chip dsh
+        # 7e-2 error was _tbl_sum2d's bf16-pass truncation, fixed there.
+        dsh_scratch[pl.ds(r, 1)] = jnp.concatenate([dfy, dfx], axis=1)[None]
+        mr = pltpu.roll(m, rem, axis=0)
+        wacc = mr * (1.0 - fy) + pltpu.roll(mr, 1, axis=0) * fy
+        cur = dtab_ref[pl.ds(b0, win), :]
+        dtab_ref[pl.ds(b0, win), :] = cur + wacc
+        return 0
+
+    jax.lax.fori_loop(0, K, ibwd, 0)
+    dsh_ref[0] = dsh_scratch[:, 0, :]
+
+
+def _v10_call_fwd(q, k, v, tablep, idx, frac, seed, side, dropout_rate,
+                  interpret):
+    BH, N, D = q.shape
+    K = k.shape[1]
+    win = _tbl_win_rows(side)
+    cn = tablep.shape[1]
+    out, attn = pl.pallas_call(
+        functools.partial(_v10_fwd_kernel, side=side,
+                          dropout_rate=dropout_rate),
+        grid=(BH,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # seed
+            pl.BlockSpec((1, K, 6), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),              # idx
+            pl.BlockSpec((1, K, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),              # frac
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # tablep
+            pl.BlockSpec((1, N, D), lambda i: (i, 0, 0)),       # q
+            pl.BlockSpec((1, K, D), lambda i: (i, 0, 0)),       # k
+            pl.BlockSpec((1, K, D), lambda i: (i, 0, 0)),       # v
+        ],
+        out_specs=[
+            pl.BlockSpec((1, N, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, K, N), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, N, D), jnp.float32),
+            jax.ShapeDtypeStruct((BH, K, N), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((K, win, cn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_KN_VMEM_LIMIT),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.float32).reshape(1).astype(jnp.int32),
+      idx.reshape(BH, K, 6), frac.reshape(BH, K, 2), tablep, q, k, v)
+    return out, attn
+
+
+def _v10_call_bwd(q, k, v, tablep, idx, frac, seed, attn, g_out, g_attn,
+                  side, dropout_rate, interpret, with_gattn):
+    BH, N, D = q.shape
+    K = k.shape[1]
+    win = _tbl_win_rows(side)
+    cn = tablep.shape[1]
+    if g_attn is None:
+        g_attn = jnp.zeros((1, 1, 1), jnp.float32)  # placeholder, unread
+        gattn_spec = pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0))
+    else:
+        gattn_spec = pl.BlockSpec((1, K, N), lambda i: (i, 0, 0))
+    outs = pl.pallas_call(
+        functools.partial(_v10_bwd_kernel, side=side,
+                          dropout_rate=dropout_rate, with_gattn=with_gattn),
+        grid=(BH,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, 6), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, K, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, K, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, K, N), lambda i: (i, 0, 0)),       # attn
+            pl.BlockSpec((1, N, D), lambda i: (i, 0, 0)),       # g_out
+            gattn_spec,                                         # g_attn
+        ],
+        out_specs=[
+            pl.BlockSpec((1, N, D), lambda i: (i, 0, 0)),       # dq
+            pl.BlockSpec((1, K, D), lambda i: (i, 0, 0)),       # dk
+            pl.BlockSpec((1, K, D), lambda i: (i, 0, 0)),       # dv
+            pl.BlockSpec(memory_space=pltpu.VMEM),              # dtab
+            pl.BlockSpec((1, K, 2), lambda i: (i, 0, 0)),       # dsh
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, N, D), jnp.float32),
+            jax.ShapeDtypeStruct((BH, K, D), jnp.float32),
+            jax.ShapeDtypeStruct((BH, K, D), jnp.float32),
+            jax.ShapeDtypeStruct(tablep.shape, jnp.float32),
+            jax.ShapeDtypeStruct((BH, K, 2), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((K, win, cn), jnp.float32),
+                        pltpu.VMEM((K, 1, 2), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_KN_VMEM_LIMIT),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.float32).reshape(1).astype(jnp.int32),
+      idx.reshape(BH, K, 6), frac.reshape(BH, K, 2), tablep, q, k, v,
+      attn, g_out, g_attn)
+    return outs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def fused_table_attention(q, k, v, tablep, shifts, seed, side, rn, split,
+                          dropout_rate=0.0, interpret=False):
+    """v10 fused divisor-1 table attention (kn layout).
+
+    q [BH, N, D] PRE-scaled, k/v [BH, K, D], tablep the divisor-1
+    (optionally lane-split) bias table from :func:`cpb_bias_table`'s build,
+    shifts [BH*K, 2] continuous lattice shifts.  Returns
+    (out [BH, N, D], attn [BH, K, N] pre-dropout).  Differentiable wrt
+    q/k/v/tablep/shifts; dropout masks are regenerated in the backward
+    from ``seed`` (per (bh, group)).
+    """
+    idx, frac = _tbl_idx(shifts, side, 1, rn, split)
+    out, attn = _v10_call_fwd(q, k, v, tablep, idx, frac, seed, side,
+                              dropout_rate, interpret)
+    return out, attn
+
+
+def _v10_vjp_fwd(q, k, v, tablep, shifts, seed, side, rn, split,
+                 dropout_rate, interpret):
+    idx, frac = _tbl_idx(shifts, side, 1, rn, split)
+    out, attn = _v10_call_fwd(q, k, v, tablep, idx, frac, seed, side,
+                              dropout_rate, interpret)
+    return (out, attn), (q, k, v, tablep, shifts, seed, attn)
+
+
+def _v10_vjp_bwd(side, rn, split, dropout_rate, interpret, res, gouts):
+    q, k, v, tablep, shifts, seed, attn = res
+    g_out, g_attn = gouts
+    idx, frac = _tbl_idx(shifts, side, 1, rn, split)
+    dq, dk, dv, dtab, dsh = _v10_call_bwd(
+        q, k, v, tablep, idx, frac, seed, attn, g_out, g_attn, side,
+        dropout_rate, interpret, with_gattn=True)
+    return dq, dk, dv, dtab, dsh.reshape(-1, 2), jnp.zeros(())
+
+
+fused_table_attention.defvjp(_v10_vjp_fwd, _v10_vjp_bwd)
+
+
+def _v10_ref(q, k, v, tablep, shifts, side, rn, split):
+    """jnp reference of the v10 forward (golden; no dropout)."""
+    BH, N, D = q.shape
+    K = k.shape[1]
+    wins = _tbl_interp_ref(tablep, shifts, side, 1, rn, split)
+    bias = wins.reshape(BH, K, N)
+    sim = jnp.einsum("bjd,bid->bji", k, q) + bias
+    attn = jax.nn.softmax(sim, axis=-2)
+    out = jnp.einsum("bji,bjd->bid", attn, v)
+    return out, attn
+
+
+def v10_supported(n_q, side):
+    """True if the v10 group decomposition covers (n_q, side) — see the
+    guard in :func:`_v10_groups`."""
+    r = n_q % _V10_GROUP
+    return r == 0 or r >= side
+
+
+def table_geometry(side, kv_bound):
+    """(rn, split) of the divisor-1 table for ``side``/``kv_bound`` — the
+    static arguments :func:`fused_table_attention` needs."""
+    _, _, rn, _ = _tbl_consts(side, 1, kv_bound)
+    split = rn - 128 if (rn > 128 and rn <= 256 - side) else 0
+    return rn, split

@@ -698,3 +698,225 @@ def test_cpb_table_1d_through_attention_module(rng):
         "1-D table path did not engage"
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
                                atol=5e-3, rtol=1e-2)
+
+
+# ------------------------------------------------- v10 fused table attention
+def _v10_case(rng, side, kv_bound, BH, K, D):
+    from disentangled_multimodal_learning_tpu.ops.pallas import (
+        deform_attn as da)
+
+    N = side * side
+    w1, b1, w2, b2, w3, b3 = _cpb_params(rng)
+    gkv = jnp.asarray(rng.uniform(-kv_bound, kv_bound, size=(BH, K, 2)),
+                      jnp.float32)
+    q = jnp.asarray(rng.normal(size=(BH, N, D)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(BH, K, D)) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.normal(size=(BH, K, D)), jnp.float32)
+    tablep, shifts, rn, split = da.cpb_bias_table_parts(
+        gkv, w1, b1, w2, b2, w3, b3, side=side, kv_bound=kv_bound)
+    assert (rn, split) == da.table_geometry(side, kv_bound)
+    return da, q, k, v, tablep, shifts, rn, split
+
+
+@pytest.mark.parametrize("side,kv_bound,split_expected",
+                         [(8, 0.5, 0),      # rn < 128: plain layout
+                          (50, 2.5, 49)])   # rn = 177: lane-split layout
+def test_v10_fused_table_attention_fwd_and_grads(rng, side, kv_bound,
+                                                 split_expected):
+    """v10 fused divisor-1 table attention (windows + sim + softmax + PV in
+    one kernel, interpret mode) vs the jnp reference: forward and all five
+    gradients, both table layouts."""
+    da, q, k, v, tablep, shifts, rn, split = _v10_case(
+        rng, side, kv_bound, BH=2, K=16, D=8)
+    assert split == split_expected
+    seed = jnp.zeros((), jnp.float32)
+
+    out, attn = da.fused_table_attention(q, k, v, tablep, shifts, seed,
+                                         side, rn, split, 0.0, True)
+    ref_out, ref_attn = da._v10_ref(q, k, v, tablep, shifts, side, rn, split)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(attn), np.asarray(ref_attn),
+                               atol=1e-6, rtol=1e-4)
+
+    go = jnp.asarray(rng.normal(size=out.shape), jnp.float32)
+    ga = jnp.asarray(rng.normal(size=attn.shape), jnp.float32)
+
+    def loss_f(q, k, v, tablep, shifts):
+        o, a = da.fused_table_attention(q, k, v, tablep, shifts, seed,
+                                        side, rn, split, 0.0, True)
+        return jnp.sum(o * go) + jnp.sum(a * ga)
+
+    def loss_r(q, k, v, tablep, shifts):
+        o, a = da._v10_ref(q, k, v, tablep, shifts, side, rn, split)
+        return jnp.sum(o * go) + jnp.sum(a * ga)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2, 3, 4))(q, k, v, tablep, shifts)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(q, k, v, tablep, shifts)
+    # dsh tolerance: the shift cotangent is a full-window contraction
+    # (_tbl_sum2d over [64, 128] f32), whose sum ORDER differs between the
+    # kernel and XLA autodiff; at side=50 the fused kernel sits 6e-6 from
+    # the f64 truth while the f32 reference itself is 2.5e-5 away, so the
+    # 1e-4 relative gate bounds reference noise, not kernel error.
+    tols = {"dsh": 1e-4}
+    for n, a, b in zip(["dq", "dk", "dv", "dtab", "dsh"], gf, gr):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-8
+        err = float(jnp.max(jnp.abs(a - b))) / scale
+        assert err < tols.get(n, 2e-5), f"v10 grad {n}: rel err {err:.2e}"
+
+
+def test_v10_dropout_determinism_and_consistency(rng):
+    """v10 dropout: same seed -> bit-identical out, attn output is the
+    PRE-dropout softmax, and the backward regenerates the identical mask
+    (dv == p_dropped^T @ g_out).
+
+    On CPU the TPU-semantics interpreter's PRNG emits zero bits, i.e. a
+    deterministic ALL-DROPPED mask (u = 0 < rate): out must be exactly 0,
+    dv exactly 0, and the remaining grads must match a reference whose
+    out-branch is dead.  On a real TPU backend the same test runs the
+    stochastic assertions (keep rate ~ 1-rate, kept entries scaled by
+    1/(1-rate), dv identity against the observed mask)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    side, kv_bound, BH, K, D = 8, 0.5, 2, 16, 16
+    da, q, k, v, tablep, shifts, rn, split = _v10_case(
+        rng, side, kv_bound, BH=BH, K=K, D=D)
+    rate = 0.25
+    on_tpu = jax.default_backend() == "tpu"
+    interp = False if on_tpu else pltpu.InterpretParams()
+    s1 = jnp.asarray(7.0, jnp.float32)
+
+    out_a, attn_a = da.fused_table_attention(q, k, v, tablep, shifts, s1,
+                                             side, rn, split, rate, interp)
+    out_b, _ = da.fused_table_attention(q, k, v, tablep, shifts, s1,
+                                        side, rn, split, rate, interp)
+    out_n, attn_n = da.fused_table_attention(q, k, v, tablep, shifts, s1,
+                                             side, rn, split, 0.0, interp)
+    assert np.array_equal(np.asarray(out_a), np.asarray(out_b))
+    # attn is the pre-dropout residual: identical to the no-dropout attn
+    np.testing.assert_array_equal(np.asarray(attn_a), np.asarray(attn_n))
+
+    # read the dropped attention off an identity value matrix (D == K)
+    eye = jnp.broadcast_to(jnp.eye(K, dtype=jnp.float32), (BH, K, K))
+    p_drop, _ = da.fused_table_attention(q, k, eye, tablep, shifts, s1,
+                                         side, rn, split, rate, interp)
+    p_drop = jnp.swapaxes(p_drop, 1, 2)               # [BH, K, N]
+    kept = np.asarray(p_drop) != 0.0
+    if on_tpu:
+        s2 = jnp.asarray(8.0, jnp.float32)
+        out_c, _ = da.fused_table_attention(q, k, v, tablep, shifts, s2,
+                                            side, rn, split, rate, interp)
+        assert not np.array_equal(np.asarray(out_a), np.asarray(out_c))
+        keep_rate = kept.mean()
+        assert 0.70 < keep_rate < 0.80, keep_rate     # ~ 1 - rate
+        scaled = np.asarray(attn_a) / (1.0 - rate)
+        np.testing.assert_allclose(np.asarray(p_drop)[kept], scaled[kept],
+                                   rtol=1e-5, atol=1e-7)
+    else:
+        assert not kept.any(), "interpret PRNG emits zero bits: all dropped"
+        np.testing.assert_array_equal(np.asarray(out_a),
+                                      np.zeros_like(np.asarray(out_a)))
+
+    # backward regenerates the same mask: dv == p_dropped^T @ g_out, and
+    # with the out-branch dead (CPU) the attn-cotangent grads must still
+    # match the reference exactly
+    go = jnp.asarray(rng.normal(size=out_a.shape), jnp.float32)
+    ga = jnp.asarray(rng.normal(size=attn_a.shape), jnp.float32)
+
+    def loss_f(q, k, v, tablep, shifts):
+        o, a = da.fused_table_attention(q, k, v, tablep, shifts, s1,
+                                        side, rn, split, rate, interp)
+        return jnp.sum(o * go) + jnp.sum(a * ga)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2, 3, 4))(q, k, v, tablep, shifts)
+    dv_want = jnp.einsum("bkn,bnd->bkd", p_drop, go)
+    np.testing.assert_allclose(np.asarray(gf[2]), np.asarray(dv_want),
+                               rtol=1e-5, atol=1e-5)
+    if not on_tpu:
+        def loss_r(q, k, v, tablep, shifts):
+            _, a = da._v10_ref(q, k, v, tablep, shifts, side, rn, split)
+            return jnp.sum(a * ga)     # out-branch dead under the zero mask
+
+        gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(q, k, v, tablep,
+                                                       shifts)
+        for n, a, b in zip(["dq", "dk", "dv", "dtab", "dsh"], gf, gr):
+            scale = float(jnp.max(jnp.abs(b))) + 1e-8
+            err = float(jnp.max(jnp.abs(a - b))) / scale
+            assert err < 1e-4, f"v10 dropout grad {n}: rel err {err:.2e}"
+
+
+def test_v10_through_attention_module(rng):
+    """DeformCrossAttention2D fused_table=1 (V10_INTERPRET) is numerically
+    the v9 divisor-1 kn path: outputs, attention maps AND parameter
+    gradients match the unfused module with identical params."""
+    from disentangled_multimodal_learning_tpu.models import (
+        deform_attention as dam)
+
+    B, N, C = 2, 64, 32
+    x1 = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    kw = dict(dim=C, dim_head=8, heads=4, offset_groups=4, dropout=0.0,
+              downsample_factor=2, offset_scale=2.0, offset_kernel_size=4,
+              attn_layout="kn", cpb_table_divisor=1)
+    unfused = dam.DeformCrossAttention2D(**kw, fused_table=0)
+    fused = dam.DeformCrossAttention2D(**kw, fused_table=1)
+    variables = unfused.init(jax.random.PRNGKey(0), x1, x2,
+                             deterministic=True)
+    from jax.experimental.pallas import tpu as pltpu
+    old = dam.V10_INTERPRET
+    dam.V10_INTERPRET = pltpu.InterpretParams()
+    try:
+        o1, a1 = unfused.apply(variables, x1, x2, deterministic=True)
+        o2, a2 = fused.apply(variables, x1, x2, deterministic=True)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   atol=2e-6, rtol=1e-4)
+
+        def loss(mod):
+            def f(params):
+                o, a = mod.apply({"params": params}, x1, x2,
+                                 deterministic=True)
+                return jnp.sum(o ** 2) + jnp.sum(jnp.sin(a))
+            return f
+
+        g1 = jax.grad(loss(unfused))(variables["params"])
+        g2 = jax.grad(loss(fused))(variables["params"])
+        flat1 = jax.tree_util.tree_leaves_with_path(g1)
+        flat2 = jax.tree_util.tree_leaves_with_path(g2)
+        for (p1, l1), (p2, l2) in zip(flat1, flat2):
+            assert p1 == p2
+            np.testing.assert_allclose(
+                np.asarray(l1), np.asarray(l2), atol=5e-4, rtol=2e-3,
+                err_msg=f"v10 module grad {jax.tree_util.keystr(p1)}")
+
+        # dropout smoke: the fused PRNG path runs and emits finite values
+        fused_d = dam.DeformCrossAttention2D(**dict(kw, dropout=0.3),
+                                             fused_table=1)
+        o3, _ = fused_d.apply(variables, x1, x2, deterministic=False,
+                              rngs={"dropout": jax.random.PRNGKey(1)})
+        assert np.all(np.isfinite(np.asarray(o3)))
+        assert not np.array_equal(np.asarray(o3), np.asarray(o2))
+    finally:
+        dam.V10_INTERPRET = old
+
+
+def test_v10_threads_from_config():
+    """cfg.fused_table_attention reaches the module-level knob."""
+    from disentangled_multimodal_learning_tpu.config import Config
+    from disentangled_multimodal_learning_tpu.models import (
+        deform_attention as da)
+    from disentangled_multimodal_learning_tpu.models.factory import define_net
+
+    old = da.FUSED_TABLE_ATTENTION
+    try:
+        cfg = Config(mode="teacher", fixdim=64, batch_size=1,
+                     fused_table_attention=True).validate()
+        define_net(cfg)
+        assert da.FUSED_TABLE_ATTENTION is True
+        # default: OFF (measured slower than the unfused d1 path, PERF.md)
+        cfg = Config(mode="teacher", fixdim=64, batch_size=1).validate()
+        define_net(cfg)
+        assert da.FUSED_TABLE_ATTENTION is False
+    finally:
+        da.FUSED_TABLE_ATTENTION = old
