@@ -27,8 +27,9 @@ lane-wise pass runs on pad.  Optimization history at B=4
 8-row kernel blocks + exact-dividing chunks) -> 133 (Gram losses in native
 layout) -> 151 (transposed "kn" layout + self-contained v7 exact kernel) ->
 195 (v9 table interpolation) -> 218 (divisor-1 specialized kernels) -> 255
-(scatter-frame shift cotangents in the table backward) -> 281 bags/s
-(lane-split two-copy table layout).  Exact CPB (cpb_table_divisor=0) stays
+(scatter-frame shift cotangents in the table backward) -> 281
+(lane-split two-copy table layout) -> ~284 bags/s (redundant pre-softmax
+max shift removed; bit-identical, +1.1%).  Exact CPB (cpb_table_divisor=0) stays
 at ~146-151.  Negative results are kept golden-tested in
 ops/pallas/deform_attn.py with notes on why their layouts lose (flat v2,
 wide4 block-diag, self-contained v5 with 1-sublane blocks; bf16 streams,

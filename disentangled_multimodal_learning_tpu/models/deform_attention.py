@@ -107,6 +107,21 @@ CPB_TABLE_DIVISOR = 0
 FUSED_TABLE_ATTENTION = False
 # force the v10 kernel in interpret mode off-TPU (CPU golden tests only)
 V10_INTERPRET = False
+# Explicit pre-softmax max shift.  jax.nn.softmax ALREADY computes
+# exp(x - stop_gradient(max(x))) internally (jax._src.nn.functions), so the
+# explicit ``sim - stop_gradient(max(sim))`` pass is bit-identical to
+# skipping it (the internal max of the shifted tensor is exactly 0.0 and
+# exp(y - 0.0) == exp(y)) while costing one extra full [B,H,K,N] reduction
+# per attention.  Default off; togglable for the A/B in
+# tools/exp_softmax_shift.py.
+EXPLICIT_SOFTMAX_SHIFT = False
+
+
+def _presoftmax(sim: jnp.ndarray, axis: int) -> jnp.ndarray:
+    if EXPLICIT_SOFTMAX_SHIFT:
+        sim = sim - jax.lax.stop_gradient(
+            jnp.max(sim, axis=axis, keepdims=True))
+    return sim
 
 
 def resolve_attn_layout(layout: str) -> str:
@@ -510,9 +525,7 @@ class DeformCrossAttention2D(nn.Module):
                              qh.astype(cdt),
                              preferred_element_type=jnp.float32)  # [B,H,K,N]
             sim = sim + cpb(grid_q, pts, transposed=True)
-            sim = sim - jax.lax.stop_gradient(
-                jnp.max(sim, axis=-2, keepdims=True))
-            attn = jax.nn.softmax(sim, axis=-2)
+            attn = jax.nn.softmax(_presoftmax(sim, -2), axis=-2)
             attn_return = attn
             attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
             out = jnp.einsum("bhji,bhjd->bhid", attn.astype(cdt),
@@ -523,9 +536,7 @@ class DeformCrossAttention2D(nn.Module):
                              kh.astype(cdt),
                              preferred_element_type=jnp.float32)  # [B,H,N,K]
             sim = sim + cpb(grid_q, pts)
-            sim = sim - jax.lax.stop_gradient(
-                jnp.max(sim, axis=-1, keepdims=True))
-            attn = jax.nn.softmax(sim, axis=-1)
+            attn = jax.nn.softmax(_presoftmax(sim, -1), axis=-1)
             attn_return = attn
             attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
             out = jnp.einsum("bhij,bhjd->bhid", attn.astype(cdt),
@@ -641,17 +652,13 @@ class DeformCrossAttention1D(nn.Module):
             sim = ein("bhjd,bhid->bhji", kh, qh)  # [B,H,K,N]
             sim = sim + cpb(seq_scaled, vgrid_scaled[..., None],
                             transposed=True)
-            sim = sim - jax.lax.stop_gradient(
-                jnp.max(sim, axis=-2, keepdims=True))
-            attn = jax.nn.softmax(sim, axis=-2)
+            attn = jax.nn.softmax(_presoftmax(sim, -2), axis=-2)
             attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
             out = ein("bhji,bhjd->bhid", attn, vh)
         else:
             sim = ein("bhid,bhjd->bhij", qh, kh)
             sim = sim + cpb(seq_scaled, vgrid_scaled[..., None])
-            sim = sim - jax.lax.stop_gradient(
-                jnp.max(sim, axis=-1, keepdims=True))
-            attn = jax.nn.softmax(sim, axis=-1)
+            attn = jax.nn.softmax(_presoftmax(sim, -1), axis=-1)
             attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
             out = ein("bhij,bhjd->bhid", attn, vh)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)

@@ -920,3 +920,40 @@ def test_v10_threads_from_config():
         assert da.FUSED_TABLE_ATTENTION is False
     finally:
         da.FUSED_TABLE_ATTENTION = old
+
+
+def test_explicit_softmax_shift_is_bit_identical(rng):
+    """The explicit pre-softmax max shift is redundant with jax.nn.softmax's
+    internal stop-gradient shift: outputs, attention maps AND input
+    gradients are bit-identical with the toggle on/off (the internal max of
+    the shifted tensor is exactly 0.0 and exp(y - 0.0) == exp(y)).  Default
+    off: it saves one full [B,H,K,N] reduction pass per attention
+    (tools/exp_softmax_shift.py)."""
+    from disentangled_multimodal_learning_tpu.models import (
+        deform_attention as da)
+
+    B, N, C = 2, 64, 32
+    x1 = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    mod = da.DeformCrossAttention2D(
+        dim=C, dim_head=8, heads=4, offset_groups=4, dropout=0.0,
+        downsample_factor=2, offset_scale=2.0, offset_kernel_size=4)
+    variables = mod.init(jax.random.PRNGKey(0), x1, x2, deterministic=True)
+
+    def run():
+        out, attn = mod.apply(variables, x1, x2, deterministic=True)
+        g = jax.grad(lambda a: jnp.sum(
+            mod.apply(variables, a, x2, deterministic=True)[0] ** 2))(x1)
+        return np.asarray(out), np.asarray(attn), np.asarray(g)
+
+    old = da.EXPLICIT_SOFTMAX_SHIFT
+    try:
+        da.EXPLICIT_SOFTMAX_SHIFT = True
+        o1, a1, g1 = run()
+        da.EXPLICIT_SOFTMAX_SHIFT = False
+        o2, a2, g2 = run()
+    finally:
+        da.EXPLICIT_SOFTMAX_SHIFT = old
+    assert np.array_equal(o1, o2)
+    assert np.array_equal(a1, a2)
+    assert np.array_equal(g1, g2)
