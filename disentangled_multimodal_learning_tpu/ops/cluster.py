@@ -32,16 +32,22 @@ def pairwise_dist(x: jnp.ndarray, y: jnp.ndarray, eps: float = 1e-12) -> jnp.nda
 
 def _k_smallest(dist: jnp.ndarray, k: int) -> jnp.ndarray:
     """k smallest values per row of [B, N, M] via k min+mask passes
-    (TPU-friendly; masks exactly one occurrence per pass via argmin one-hot)."""
-    B, N, M = dist.shape
+    (TPU-friendly; masks exactly one occurrence per pass via argmin one-hot).
+
+    Pass economy (r4, measured in tools/exp_student_anatomy.py): the min
+    VALUE comes from ``jnp.min`` — bit-identical to gathering ``dd[argmin]``
+    but a fusable reduce instead of a [B,N,1]-from-[B,N,M] gather — and the
+    final pass skips the mask rewrite (nothing consumes it), saving a full
+    [B,N,M] read+write."""
     big = jnp.asarray(jnp.finfo(dist.dtype).max, dist.dtype)
     vals = []
     dd = dist
-    for _ in range(k):
-        idx = jnp.argmin(dd, axis=-1)                       # [B,N]
-        v = jnp.take_along_axis(dd, idx[..., None], axis=-1)  # [B,N,1]
-        vals.append(v[..., 0])
-        dd = jnp.where(jax.nn.one_hot(idx, M, dtype=jnp.bool_), big, dd)
+    for i in range(k):
+        vals.append(jnp.min(dd, axis=-1))                   # [B,N]
+        if i + 1 < k:
+            idx = jnp.argmin(dd, axis=-1)                   # [B,N]
+            M = dd.shape[-1]
+            dd = jnp.where(jax.nn.one_hot(idx, M, dtype=jnp.bool_), big, dd)
     return jnp.stack(vals, axis=-1)
 
 
