@@ -57,6 +57,7 @@ def dpc_knn_cluster(
     k: int = 5,
     key: jax.Array | None = None,
     density_noise: jnp.ndarray | None = None,
+    use_kernel: bool | None = None,
 ):
     """DPC-KNN cluster assignment (reference models/ClusterMergeNet.py:68-128).
 
@@ -66,11 +67,20 @@ def dpc_knn_cluster(
       k: nearest-neighbor count for local density.
       key: PRNG key for the density tie-break noise; ``density_noise`` may be
         passed explicitly (tests use zeros for torch parity).
+      use_kernel: route the [B,N,N] passes through the streaming Pallas
+        kernels (ops/pallas/dpc_knn.py — dist tiles never touch HBM);
+        defaults to True on TPU.  Same outputs (golden-tested exact on CPU).
 
     Returns:
       idx_cluster ``[B, N]`` int32 in [0, cluster_num), and
       index_down ``[B, cluster_num]`` the selected center token indices.
     """
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    if use_kernel:
+        from .pallas.dpc_knn import dpc_knn_cluster_streamed
+        return dpc_knn_cluster_streamed(
+            x, cluster_num, k=k, key=key, density_noise=density_noise)
     B, N, C = x.shape
     dist = pairwise_dist(x, x) / (C ** 0.5)                # [B,N,N]
 

@@ -212,6 +212,41 @@ def test_dpc_knn_matches_naive(rng):
         np.testing.assert_array_equal(remapped, want_idx[b])
 
 
+def test_dpc_knn_streamed_matches_xla(rng):
+    """The streaming Pallas DPC (ops/pallas/dpc_knn.py, interpret mode on
+    CPU) must reproduce the XLA path's centers and assignments exactly,
+    including tie multiplicity from duplicated (padding-like) tokens."""
+    from disentangled_multimodal_learning_tpu.ops.pallas.dpc_knn import (
+        dpc_knn_cluster_streamed)
+
+    for B, N, C, K, k in [(2, 300, 32, 6, 5), (1, 512, 16, 4, 3)]:
+        x = rng.normal(size=(B, N, C)).astype(np.float32)
+        noise = rng.uniform(size=(B, N)).astype(np.float32)
+        i1, d1 = dpc_knn_cluster(jnp.asarray(x), K, k=k,
+                                 density_noise=jnp.asarray(noise),
+                                 use_kernel=False)
+        i2, d2 = dpc_knn_cluster_streamed(jnp.asarray(x), K, k=k,
+                                          density_noise=jnp.asarray(noise),
+                                          interpret=True)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    # duplicate-token stress: half the bag is one repeated vector and one
+    # extra duplicated pair — exact distance ties everywhere
+    x = rng.normal(size=(2, 280, 16)).astype(np.float32)
+    x[:, 140:, :] = 0.25
+    x[:, 10, :] = x[:, 11, :]
+    noise = rng.uniform(size=(2, 280)).astype(np.float32)
+    i1, d1 = dpc_knn_cluster(jnp.asarray(x), 5, k=5,
+                             density_noise=jnp.asarray(noise),
+                             use_kernel=False)
+    i2, d2 = dpc_knn_cluster_streamed(jnp.asarray(x), 5, k=5,
+                                      density_noise=jnp.asarray(noise),
+                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
 def test_merge_tokens_weighted_mean(rng):
     B, N, C, K = 2, 10, 4, 2
     x = rng.normal(size=(B, N, C)).astype(np.float32)
