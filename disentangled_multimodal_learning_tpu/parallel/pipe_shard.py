@@ -136,8 +136,15 @@ def make_micro_fns(model, teacher_model, cfg):
 
     teacher_fwd = make_teacher_boundary_fn(teacher_model)
 
+    # honor cfg.deterministic_training like every other train step
+    # (steps.py:124): dropout off makes the microbatch decomposition equal
+    # the monolithic step EXACTLY (with dropout on, the per-(microbatch,
+    # shard) rng derivation is necessarily a different mask pattern than the
+    # full-batch step's — both correct, not comparable)
+    _cfg_det = bool(getattr(cfg, "deterministic_training", False))
+
     def student_micro_loss(params, micro, tea, rng, denoms,
-                           deterministic=False):
+                           deterministic=_cfg_det):
         d_task, d_batch = denoms
         lt10, lt20, ft10, ft20 = tea
         out = model.apply(

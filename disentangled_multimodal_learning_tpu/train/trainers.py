@@ -297,6 +297,14 @@ def run_training(cfg, model, loaders, logger=None, teacher_model=None,
                          "fold": cfg.cur_fold, "epoch": epoch + 1})
 
     final_metrics = _final_eval(cfg, evaluator, state, test_loader, mt)
+    try:
+        # surface the last TRAIN step's loss alongside the eval metrics
+        # (callers otherwise have no way to read it; the multichip dryrun's
+        # sharded==unsharded self-check consumes it)
+        final_metrics = dict(final_metrics or {})
+        final_metrics.setdefault("train_loss", float(metrics["loss"]))
+    except (NameError, KeyError, TypeError):
+        pass  # zero steps ran (resume past end) or loss not reported
     ckpt_path = None
     if cfg.checkpoints and cfg.checkpoints != "#":
         name = metric_stamped_name(cfg.cur_fold, cfg.epochs - 1, final_metrics,
