@@ -229,6 +229,12 @@ class Config:
     # HBM bandwidth and XLA's attention pipeline beats the in-kernel
     # VPU window placement.  Golden-tested against the unfused path.
     fused_table_attention: bool = False
+    # bf16 materialized attention streams (kn layout): store the [B,H,K,N]
+    # sim and attention maps in bf16 (softmax still reduces in f32).  Halves
+    # the HBM traffic of the step's bandwidth-bound streams at the d1 table
+    # operating point; ~2e-3 relative perturbation on attention weights
+    # (bf16 mantissa).  A/B in tools/exp_attn_bf16_streams.py.
+    attn_bf16_streams: bool = False
 
     # task
     task_type: str = "diag2021"

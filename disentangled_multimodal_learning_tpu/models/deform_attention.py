@@ -115,6 +115,13 @@ V10_INTERPRET = False
 # per attention.  Default off; togglable for the A/B in
 # tools/exp_softmax_shift.py.
 EXPLICIT_SOFTMAX_SHIFT = False
+# bf16 attention streams (r5 A/B, VERDICT r4 #3): materialize the [B,H,K,N]
+# sim and attention-map streams in bf16 (softmax still reduces in f32).  The
+# prior bf16 negatives (PERF.md) were measured in the compute-bound exact-CPB
+# era; at the divisor-1 table operating point the XLA attention is
+# BANDWIDTH-bound on these f32 streams, so the trade may have flipped.
+# cfg.attn_bf16_streams sets this via the factory.
+ATTN_BF16_STREAMS = False
 
 
 def _presoftmax(sim: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -520,12 +527,17 @@ class DeformCrossAttention2D(nn.Module):
         elif layout == "kn":
             # transposed layout: i = query, j = kv; sim/softmax/PV in
             # [B,H,Nk,Nq] so the transposed CPB kernel output is consumed
-            # with zero relayouts
+            # with zero relayouts.  sdt = the materialized-stream dtype:
+            # bf16 halves the HBM traffic of the sim/attn [B,H,K,N] streams
+            # (the step's bandwidth bound at the d1 table operating point);
+            # the softmax still upcasts and reduces in f32.
+            sdt = jnp.bfloat16 if ATTN_BF16_STREAMS else jnp.float32
             sim = jnp.einsum("bhjd,bhid->bhji", kh.astype(cdt),
                              qh.astype(cdt),
-                             preferred_element_type=jnp.float32)  # [B,H,K,N]
-            sim = sim + cpb(grid_q, pts, transposed=True)
-            attn = jax.nn.softmax(_presoftmax(sim, -2), axis=-2)
+                             preferred_element_type=sdt)  # [B,H,K,N]
+            sim = sim + cpb(grid_q, pts, transposed=True).astype(sdt)
+            attn = jax.nn.softmax(
+                _presoftmax(sim.astype(jnp.float32), -2), axis=-2).astype(sdt)
             attn_return = attn
             attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
             out = jnp.einsum("bhji,bhjd->bhid", attn.astype(cdt),

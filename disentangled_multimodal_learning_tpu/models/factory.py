@@ -28,6 +28,7 @@ def define_net(args):
     _da.CPB_TABLE_DIVISOR = int(getattr(args, "cpb_table_divisor", 0))
     _da.FUSED_TABLE_ATTENTION = bool(
         getattr(args, "fused_table_attention", False))
+    _da.ATTN_BF16_STREAMS = bool(getattr(args, "attn_bf16_streams", False))
     mode = args.mode
     common = dict(label_dim=args.label_dim)
     if mode == "path":

@@ -143,7 +143,8 @@ def path_batch_loss(att10: jnp.ndarray, att20: jnp.ndarray) -> jnp.ndarray:
     n = att10.shape[0]
 
     def gram_mean(a):
-        s = jnp.einsum("bhij,chij->hbc", a, a)  # [8, N, N] per-head Grams
+        s = jnp.einsum("bhij,chij->hbc", a, a,
+                        preferred_element_type=jnp.float32)  # [8,N,N] Grams
         norm = jnp.linalg.norm(s, axis=2, keepdims=True)
         return jnp.mean(s / norm, axis=0)
 
@@ -165,7 +166,8 @@ def path_batch_loss_stacked(att: jnp.ndarray) -> jnp.ndarray:
     GSPMD to replicate both full maps across the seam (measured:
     tools/exp_branch_partition.py)."""
     n = att.shape[1]
-    s = jnp.einsum("sbhij,schij->shbc", att, att)  # [2, 8, N, N]
+    s = jnp.einsum("sbhij,schij->shbc", att, att,
+                   preferred_element_type=jnp.float32)  # [2, 8, N, N]
     norm = jnp.linalg.norm(s, axis=3, keepdims=True)
     m = jnp.mean(s / norm, axis=1)  # [2, N, N]
     return jnp.sum((m[0] - m[1]) ** 2 / n)
@@ -187,7 +189,8 @@ def omic_domain_scale_loss(att1_10, att1_20, att2_10, att2_20) -> jnp.ndarray:
         # the reference's a.reshape(n,-1) @ b.reshape(n,-1).T (the inner
         # product is flatten-order-independent) without the 46 MB relayout
         # the explicit flatten costs on TPU
-        s = jnp.einsum("bhij,chij->bc", a, b)
+        s = jnp.einsum("bhij,chij->bc", a, b,
+                       preferred_element_type=jnp.float32)
         s = s / jnp.linalg.norm(s, axis=1, keepdims=True)
         return diag_variance_loss(s, weight=10000.0)
 
