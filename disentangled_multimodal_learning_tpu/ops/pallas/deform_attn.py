@@ -2554,6 +2554,189 @@ def _tbl1_vjp_bwd(n_q, tn, interpret, res, dout):
 _table1_interp.defvjp(_tbl1_vjp_fwd, _tbl1_vjp_bwd)
 
 
+# --- w128 1-D interpolation (r5): [rows, 128] flat-roll window layout ------
+# The original _tbl1 kernels roll [1, cn] single-sublane rows (cn ~ 5k lanes
+# at production N=2501), using 1 of 8 sublanes of every vreg — why the 1-D
+# table CPB measured perf-NEUTRAL vs the exact MLP it replaces (PERF.md).
+# The w128 layout stores each channel's lattice row as a [rt, 128] block
+# (flat index f -> (row f // 128, lane f % 128)); a row's contiguous
+# [ox, ox + n_q] window is materialized on [win1, 128] tiles with a sublane
+# roll (the 128-aligned part) plus a lane roll + next-row-carry select (the
+# residue), at full 8/8 sublane utilization.  The [R, O, wr, 128] output is
+# flattened/sliced to [R, O, n_q] by ONE bandwidth-bound XLA relayout
+# (differentiable glue) instead of ~8x wasted VPU passes.
+
+TBL1_W128 = True  # default layout on TPU; False = the original [1, cn] kernels
+
+
+def _tbl1w_geom(n_q, tn):
+    """wr: window rows (residue <= 127 + n_q + 1 taps); win1: loaded rows
+    (8-aligned, wr+1 valid after the residue roll); rt: table rows per
+    channel; rows_pad: per-channel stride (load headroom, 8-aligned)."""
+    wr = -(-(n_q + 128) // 128)
+    win1 = _round_up(wr + 8, 8)
+    rt = -(-tn // 128)
+    rows_pad = _round_up(rt + win1, 8)
+    return wr, win1, rt, rows_pad
+
+
+def _tbl1w_window(tab_ref, base, b, win1, lane):
+    """Both flat-window taps [win1, 128]: w0[r, l] = flat[ox + 128 r + l]
+    and w1[r, l] = flat[ox + 1 + 128 r + l], where ox = 128 * row0 + b and
+    ``base`` = channel_offset + row0."""
+    s0 = (base // 8) * 8
+    rem = base - s0
+    t = tab_ref[pl.ds(s0, win1), :]
+    t = pltpu.roll(t, win1 - rem, axis=0)              # row0 at sublane 0
+    u = pltpu.roll(t, (128 - b) % 128, axis=1)         # u[r,l] = t[r,(l+b)%128]
+    v = pltpu.roll(u, win1 - 1, axis=0)                # v[r] = u[r+1]
+    w0 = jnp.where(lane < 128 - b, u, v)
+    w0s = pltpu.roll(w0, 127, axis=1)                  # w0[r, l+1]
+    w0rs = pltpu.roll(pltpu.roll(w0, win1 - 1, axis=0), 127, axis=1)
+    w1 = jnp.where(lane < 127, w0s, w0rs)              # flat shift by one
+    return w0, w1, s0, rem
+
+
+def _tbl1w_fwd_kernel(idx_ref, frac_ref, tab_ref, out_ref, *, rows_pad):
+    n_out, wr = out_ref.shape[1], out_ref.shape[2]
+    win1 = _round_up(wr + 8, 8)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (win1, 128), 1)
+    for g in range(_T1_ROWS):
+        ox = idx_ref[g, 0]
+        fx = frac_ref[g, 0]
+        row0 = ox // 128
+        b = ox - row0 * 128
+        for c in range(n_out):
+            w0, w1, _, _ = _tbl1w_window(tab_ref, c * rows_pad + row0, b,
+                                         win1, lane)
+            out_ref[g, c] = (w0 * (1.0 - fx) + w1 * fx)[:wr, :]
+
+
+def _tbl1w_bwd_kernel(idx_ref, frac_ref, tab_ref, db_ref, dtab_ref, dsh_ref,
+                      *, rows_pad):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dtab_ref[...] = jnp.zeros_like(dtab_ref)
+
+    n_out, wr = db_ref.shape[1], db_ref.shape[2]
+    win1 = _round_up(wr + 8, 8)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (win1, 128), 1)
+    dsh_rows = []
+    for g in range(_T1_ROWS):
+        ox = idx_ref[g, 0]
+        fx = frac_ref[g, 0]
+        row0 = ox // 128
+        b = ox - row0 * 128
+        dfx = jnp.zeros((1, 1), jnp.float32)
+        for c in range(n_out):
+            w0, w1, s0, rem = _tbl1w_window(tab_ref, c * rows_pad + row0, b,
+                                            win1, lane)
+            dw = jnp.pad(db_ref[g, c], ((0, win1 - wr), (0, 0)))
+            dfx = dfx + _tbl_sum2d(dw * (w1 - w0))
+            # scatter both taps with ONE table RMW: fold the fx tap into the
+            # flat frame (dflat[ox+1+j] += dw[j]*fx means a +1 flat shift of
+            # the cotangent image), then invert the window construction
+            m2 = dw * fx
+            m2a = pltpu.roll(m2, 1, axis=1)            # m2[r, l-1]
+            m2b = pltpu.roll(m2a, 1, axis=0)           # m2[r-1, 127] at l=0
+            md = dw * (1.0 - fx) + jnp.where(lane >= 1, m2a, m2b)
+            mdu = jnp.where(lane < 128 - b, md, 0.0)
+            mdv = pltpu.roll(jnp.where(lane >= 128 - b, md, 0.0), 1, axis=0)
+            mdt = pltpu.roll(mdu + mdv, b, axis=1)     # back to table lanes
+            mdt = pltpu.roll(mdt, rem, axis=0)         # undo 8-alignment
+            cur = dtab_ref[pl.ds(s0, win1), :]
+            dtab_ref[pl.ds(s0, win1), :] = cur + mdt
+        dsh_rows.append(dfx)
+    dsh_ref[...] = jnp.concatenate(dsh_rows, axis=0)   # [_T1_ROWS, 1]
+
+
+def _tbl1w_pack(table, n_q, tn):
+    """[O, tn] channel rows -> the [O * rows_pad, 128] w128 layout."""
+    n_out = table.shape[0]
+    _, _, rt, rows_pad = _tbl1w_geom(n_q, tn)
+    tw = jnp.pad(table[:, :tn], ((0, 0), (0, rt * 128 - tn)))
+    tw = tw.reshape(n_out, rt, 128)
+    tw = jnp.pad(tw, ((0, 0), (0, rows_pad - rt), (0, 0)))
+    return tw.reshape(n_out * rows_pad, 128)
+
+
+def _tbl1w_interp_call(tw, shifts, n_q, tn, interpret):
+    r = shifts.shape[0]
+    r_pad = _round_up(r, _T1_ROWS)
+    wr, _, _, rows_pad = _tbl1w_geom(n_q, tn)
+    n_out = tw.shape[0] // rows_pad
+    idx, frac = _tbl1_idx(shifts, n_q, tn)
+    idx = _pad_n(idx, r_pad, axis=0)
+    frac = _pad_n(frac, r_pad, axis=0)
+    out = pl.pallas_call(
+        functools.partial(_tbl1w_fwd_kernel, rows_pad=rows_pad),
+        grid=(r_pad // _T1_ROWS,),
+        in_specs=[
+            pl.BlockSpec((_T1_ROWS, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((_T1_ROWS, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_T1_ROWS, n_out, wr, 128),
+                               lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((r_pad, n_out, wr, 128), jnp.float32),
+        interpret=interpret,
+    )(idx, frac, tw)
+    return out[:r]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _table1w_interp(tw, shifts, n_q, tn, interpret=False):
+    """w128 1-D interpolation: packed table ``[O * rows_pad, 128]`` +
+    per-row lattice shifts ``[R, 1]`` -> flat windows ``[R, O, wr, 128]``
+    (window element j at (j // 128, j % 128); valid through j = n_q - 1)."""
+    return _tbl1w_interp_call(tw, shifts, n_q, tn, interpret)
+
+
+def _tbl1w_vjp_fwd(tw, shifts, n_q, tn, interpret):
+    return _tbl1w_interp_call(tw, shifts, n_q, tn, interpret), (tw, shifts)
+
+
+def _tbl1w_vjp_bwd(n_q, tn, interpret, res, dout):
+    tw, shifts = res
+    r = shifts.shape[0]
+    r_pad = _round_up(r, _T1_ROWS)
+    wr, _, _, rows_pad = _tbl1w_geom(n_q, tn)
+    n_out = tw.shape[0] // rows_pad
+    idx, frac = _tbl1_idx(shifts, n_q, tn)
+    idx = _pad_n(idx, r_pad, axis=0)
+    frac = _pad_n(frac, r_pad, axis=0)
+    db = _pad_n(dout, r_pad, axis=0)
+    dtw, dsh = pl.pallas_call(
+        functools.partial(_tbl1w_bwd_kernel, rows_pad=rows_pad),
+        grid=(r_pad // _T1_ROWS,),
+        in_specs=[
+            pl.BlockSpec((_T1_ROWS, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((_T1_ROWS, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((_T1_ROWS, n_out, wr, 128), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((_T1_ROWS, 1), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(tw.shape, jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(idx, frac, tw, db)
+    return dtw, dsh[:r]
+
+
+_table1w_interp.defvjp(_tbl1w_vjp_fwd, _tbl1w_vjp_bwd)
+
+
 def cpb_bias_table_1d(grid_kv, w1, b1, w2, b2, w3, b3, *, n_q, kv_bound,
                       interpret=False, use_kernel=None):
     """Approximate 1-D CPB bias on the standard normalized query sequence
@@ -2581,7 +2764,15 @@ def cpb_bias_table_1d(grid_kv, w1, b1, w2, b2, w3, b3, *, n_q, kv_bound,
     shifts = ((-1.0 - grid_kv - t0) / s).reshape(bh * k, 1)
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
-    if use_kernel:
+    if use_kernel and TBL1_W128:
+        wr, _, _, _ = _tbl1w_geom(n_q, tn)
+        tw = _tbl1w_pack(table, n_q, tn)
+        w = _table1w_interp(tw, shifts, n_q, tn, interpret)
+        # flatten the [wr, 128] window rows to [n_q] lanes: one bandwidth-
+        # bound XLA relayout (differentiable glue; its transpose zero-pads
+        # the cotangent back to window-row layout for the bwd kernel)
+        wins = w.reshape(bh * k, n_out, wr * 128)[:, :, :n_q]
+    elif use_kernel:
         wins = _table1_interp(table, shifts, n_q, tn, interpret)
     else:
         wins = _tbl1_interp_ref(table, shifts, n_q, tn)

@@ -624,9 +624,27 @@ def test_cpb_table_divisor_threads_from_config():
         da.CPB_TABLE_DIVISOR = old
 
 
-def test_cpb_table_1d_kernel_and_accuracy(rng):
+@pytest.mark.parametrize("w128", [True, False])
+def test_cpb_table_1d_kernel_and_accuracy(rng, w128):
     """1-D table CPB: interpret-mode kernel == jnp reference (fwd + grads),
-    and both are close to the exact 1-D CPB MLP bias (multi-channel)."""
+    and both are close to the exact 1-D CPB MLP bias (multi-channel).
+    Covers BOTH kernel layouts: the r5 w128 [rows, 128] flat-roll windows
+    (the TPU default — full sublane utilization) and the original [1, cn]
+    lane-rotate kernels (kept for A/B)."""
+    from disentangled_multimodal_learning_tpu.ops.pallas import (
+        deform_attn as DA)
+    from disentangled_multimodal_learning_tpu.ops.pallas.deform_attn import (
+        cpb_bias_table_1d)
+
+    old_w128 = DA.TBL1_W128
+    DA.TBL1_W128 = w128
+    try:
+        _check_cpb_table_1d(rng)
+    finally:
+        DA.TBL1_W128 = old_w128
+
+
+def _check_cpb_table_1d(rng):
     from disentangled_multimodal_learning_tpu.ops.pallas.deform_attn import (
         cpb_bias_table_1d)
 
