@@ -93,7 +93,8 @@ def main():
     cfg = Config(mode="teacher", task_type="diag2021", label_dim=4,
                  fixdim=FIXDIM, batch_size=BATCH, gradient_modulate=True,
                  multiscale_attention=True, remat=False, checkpoints="#",
-                 cpb_table_divisor=1, debug=True).validate()
+                 cpb_table_divisor=1, attn_bf16_streams=True,
+                 debug=True).validate()
     ds = SyntheticBagDataset(size=BATCH, fixdim=FIXDIM, label_dim=4, seed=0,
                              args=cfg)
     batch = BagLoader(ds, BATCH, shuffle=False).__iter__().__next__()

@@ -294,6 +294,59 @@ def test_attn_layout_kn_matches_nk(rng):
                                    atol=1e-5, rtol=5e-4)
 
 
+def test_attn_bf16_streams_matches_f32(rng):
+    """cfg.attn_bf16_streams (kn layout): storing the materialized [B,H,K,N]
+    sim/attn streams in bf16 perturbs the attention only at bf16-mantissa
+    scale — out/attn within ~1e-2 relative of the f32-stream path, all grads
+    finite and within a few percent.  Measured +15% teacher train on chip
+    (tools/exp_attn_bf16_streams.py, r5); this pins the numerics contract
+    of the adopted production flag."""
+    from disentangled_multimodal_learning_tpu.models import (
+        deform_attention as dam)
+
+    x1 = jnp.asarray(rng.normal(size=(2, 64, 128)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(2, 64, 128)).astype(np.float32))
+    m = dam.DeformCrossAttention2D(dim=128, dropout=0.0, attn_layout="kn")
+    v = m.init({"params": jax.random.PRNGKey(0)}, x1, x2, deterministic=True)
+
+    def run():
+        out, attn = m.apply(v, x1, x2, deterministic=True)
+
+        def f(p):
+            o, a = m.apply({"params": p}, x1, x2, deterministic=True)
+            return jnp.sum(o ** 2) + jnp.sum(a.astype(jnp.float32) ** 2)
+
+        g = jax.grad(f)(v["params"])
+        return out, attn, g
+
+    assert dam.ATTN_BF16_STREAMS is False  # module default stays exact
+    o1, a1, g1 = run()
+    try:
+        dam.ATTN_BF16_STREAMS = True
+        o2, a2, g2 = run()
+    finally:
+        dam.ATTN_BF16_STREAMS = False
+    assert a2.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2, np.float32),
+                               atol=2e-2, rtol=2e-2)
+    # attn rows sum to 1; bf16 storage perturbs each weight by <= 2^-8 rel
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2, np.float32),
+                               atol=5e-3)
+    for (n1, l1), (n2, l2) in zip(
+            jax.tree_util.tree_leaves_with_path(g1),
+            jax.tree_util.tree_leaves_with_path(g2)):
+        arr1, arr2 = np.asarray(l1, np.float32), np.asarray(l2, np.float32)
+        assert np.isfinite(arr2).all(), n2
+        # per-leaf relative bound, floored at 1 absolute: leaves whose
+        # analytic gradient is ~0 (e.g. mlp_out_bias — a uniform pre-softmax
+        # shift the softmax Jacobian annihilates; f32 gives 1.5e-6) pick up
+        # O(1e-2) ABSOLUTE bf16 cancellation noise, which is benign because
+        # the true gradient is zero in that direction.
+        scale = max(np.abs(arr1).max(), 1.0)
+        np.testing.assert_allclose(arr1 / scale, arr2 / scale, atol=3e-2,
+                                   err_msg=str(n1))
+
+
 def test_attn_kv_axis_helper():
     from disentangled_multimodal_learning_tpu.models.deform_attention import (
         attn_kv_axis)

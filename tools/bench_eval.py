@@ -37,7 +37,7 @@ def bench(mode, B=4, fixdim=2500):
     # cpb_table_divisor=1: the production operating point (PERF.md)
     cfg = Config(mode=mode, task_type="diag2021", label_dim=4, fixdim=fixdim,
                  batch_size=B, checkpoints="#", debug=True,
-                 cpb_table_divisor=1).validate()
+                 cpb_table_divisor=1, attn_bf16_streams=True).validate()
     ds = SyntheticBagDataset(size=B, fixdim=fixdim, label_dim=4, seed=0,
                              args=cfg)
     batch = next(iter(BagLoader(ds, B, shuffle=False)))

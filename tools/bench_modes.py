@@ -60,7 +60,7 @@ def bench(mode, task, B=4, fixdim=2500):
     # exact kernel's own MXU rounding (PERF.md)
     kw = dict(mode=mode, task_type=task, label_dim=label_dim, fixdim=fixdim,
               batch_size=B, remat=False, checkpoints="#", debug=True,
-              cpb_table_divisor=1)
+              cpb_table_divisor=1, attn_bf16_streams=True)
     if mode in ("teacher", "uniteacher"):
         kw.update(gradient_modulate=True, multiscale_attention=True)
     if mode == "deformpathomic":
