@@ -587,14 +587,15 @@ class DeformCrossAttention1D(nn.Module):
     # maps, so this is invisible to callers): "kn" on TPU feeds the
     # transposed CPB kernel with zero relayouts; see resolve_attn_layout
     attn_layout: str = "auto"
-    # table-interpolated CPB (approximate): 0 = exact (the 1-D DEFAULT —
-    # unlike the 2-D module this does NOT follow CPB_TABLE_DIVISOR, because
-    # the 1-D table kernel measured perf-NEUTRAL on chip: its [1, cn] lane
-    # rotates use 1 of 8 sublanes, so it matches the exact MLP's ~16 ms
-    # instead of beating it; approximation without speedup is pure
-    # downside).  >0 opts in (golden-tested; lattice spacing == query
-    # spacing regardless of the value).  -1 = follow the global.
-    cpb_table_divisor: int = 0
+    # table-interpolated CPB (approximate): -1 = follow the global
+    # CPB_TABLE_DIVISOR (the DEFAULT since r5, same semantics as the 2-D
+    # module: the production presets run table CPB, plain Config() runs
+    # exact).  The r3 measurement had the 1-D table perf-NEUTRAL (its
+    # [1, cn] lane rotates use 1 of 8 sublanes); at the r5 variant-G
+    # operating point it leads exact by ~4% (fwd+bwd 19.9 vs 20.7 ms,
+    # tools/exp_tbl1_w128.py) with interpolation error far below f32
+    # matmul noise (lattice spacing == query spacing).  0 forces exact.
+    cpb_table_divisor: int = -1
 
     @nn.compact
     def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, *, return_vgrid: bool = False,

@@ -2566,7 +2566,11 @@ _table1_interp.defvjp(_tbl1_vjp_fwd, _tbl1_vjp_bwd)
 # flattened/sliced to [R, O, n_q] by ONE bandwidth-bound XLA relayout
 # (differentiable glue) instead of ~8x wasted VPU passes.
 
-TBL1_W128 = True  # default layout on TPU; False = the original [1, cn] kernels
+TBL1_W128 = False  # opt-in: measured NEGATIVE on chip (fwd 11.2 vs 8.6 ms
+# for the full 1-D attention, tools/exp_tbl1_w128.py r5) — the [wr,128]
+# window flatten relayout + carry selects outweigh the sublane-utilization
+# win, and the 1-D attention's ~20 ms floor is its [B,H,K,N] streams
+# (K≈626), not the CPB.  True = w128 layout (golden-tested both ways).
 
 
 def _tbl1w_geom(n_q, tn):
