@@ -235,6 +235,15 @@ class Config:
     # operating point; ~2e-3 relative perturbation on attention weights
     # (bf16 mantissa).  A/B in tools/exp_attn_bf16_streams.py.
     attn_bf16_streams: bool = False
+    # bf16 STORE of the table-interpolated CPB windows (interpolation
+    # arithmetic stays f32 in-kernel): halves the interp output write, the
+    # window->row relayout traffic and the bias-add read, plus the mirrored
+    # backward streams.  Only meaningful with cpb_table_divisor > 0.
+    # Measured NEGATIVE on chip (teacher 299 vs 318 bags/s,
+    # tools/exp_tbl_bf16.py — the window->row relayout is a physical
+    # retiling and bf16's packed (16,128) sublane tiling makes it cost
+    # MORE per element than the halved bytes save); kept opt-in.
+    cpb_table_bf16: bool = False
 
     # task
     task_type: str = "diag2021"

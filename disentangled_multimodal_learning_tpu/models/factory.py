@@ -29,6 +29,9 @@ def define_net(args):
     _da.FUSED_TABLE_ATTENTION = bool(
         getattr(args, "fused_table_attention", False))
     _da.ATTN_BF16_STREAMS = bool(getattr(args, "attn_bf16_streams", False))
+    from ..ops.pallas import deform_attn as _pda
+
+    _pda.TBL_BF16_OUT = bool(getattr(args, "cpb_table_bf16", False))
     mode = args.mode
     common = dict(label_dim=args.label_dim)
     if mode == "path":

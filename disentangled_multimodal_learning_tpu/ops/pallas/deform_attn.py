@@ -1971,6 +1971,19 @@ fused_deform_attention_kn.defvjp(_kn_vjp_fwd, _kn_vjp_bwd)
 
 _TBL_ROWS = 8  # (bh, k) rows per grid step; f32 sublane tile
 
+# bf16 interp output streams (r5, cfg.cpb_table_bf16): the interpolation
+# arithmetic stays f32 in-kernel; only the window STORE quantizes to bf16,
+# halving (a) the kernel's output write, (b) the [R,side,side]->[BH,K,N]
+# relayout traffic, and (c) the bias-add read in the attention — and the
+# mirrored backward streams (the window cotangent arrives bf16 and is
+# upcast per-row in-kernel; dtab/dsh accumulate in f32).  Natural follow-on
+# to ATTN_BF16_STREAMS: the bias feeds a bf16 sim stream anyway.
+TBL_BF16_OUT = False
+
+
+def _tbl_out_dtype():
+    return jnp.bfloat16 if TBL_BF16_OUT else jnp.float32
+
 
 def _tbl_win_rows(side):
     """Aligned sublane window: Mosaic only allows dynamic sublane-slice
@@ -2021,7 +2034,7 @@ def _tbl_fwd_kernel(idx_ref, frac_ref, tab_ref, out_ref):
                + _tbl_read(tab_ref, b11, side) * fy)
         a = pltpu.roll(ty0, cn - ox0, axis=1)[:, :side]
         b = pltpu.roll(ty1, cn - ox1, axis=1)[:, :side]
-        out_ref[g] = a * (1.0 - fx) + b * fx
+        out_ref[g] = (a * (1.0 - fx) + b * fx).astype(out_ref.dtype)
 
 
 def _tbl_bwd_kernel(idx_ref, frac_ref, tab_ref, db_ref, dtab_ref, dsh_ref):
@@ -2043,7 +2056,7 @@ def _tbl_bwd_kernel(idx_ref, frac_ref, tab_ref, db_ref, dtab_ref, dsh_ref):
         ox1 = idx_ref[g, 5]
         fy = frac_ref[g, 0]
         fx = frac_ref[g, 1]
-        dw = db_ref[g]                                     # [side, side]
+        dw = db_ref[g].astype(jnp.float32)                 # [side, side]
         w00 = _tbl_read(tab_ref, b00, side)                # [side, cn]
         w10 = _tbl_read(tab_ref, b10, side)
         w01 = _tbl_read(tab_ref, b01, side)
@@ -2137,7 +2150,7 @@ def _tbl_interp_ref(tablep, shifts, side, divisor, rn, split=0):
         fy, fx = fvec[0], fvec[1]
         a = win(ivec[0], ivec[4]) * (1 - fy) + win(ivec[1], ivec[4]) * fy
         b = win(ivec[2], ivec[5]) * (1 - fy) + win(ivec[3], ivec[5]) * fy
-        return a * (1 - fx) + b * fx
+        return (a * (1 - fx) + b * fx).astype(_tbl_out_dtype())
 
     return jax.vmap(one)(idx, frac)
 
@@ -2166,7 +2179,8 @@ def _tbl_d1_fwd_kernel(idx_ref, frac_ref, tab_ref, out_ref):
         ty = r1 * (1.0 - fy) + r2 * fy
         l1 = pltpu.roll(ty, cn - ox, axis=1)          # lanes [ox, ...]
         l2 = pltpu.roll(ty, cn - ox - 1, axis=1)      # lanes [ox+1, ...]
-        out_ref[g] = (l1 * (1.0 - fx) + l2 * fx)[:side, :side]
+        out_ref[g] = ((l1 * (1.0 - fx) + l2 * fx)[:side, :side]
+                      .astype(out_ref.dtype))
 
 
 def _tbl_d1_bwd_kernel(idx_ref, frac_ref, tab_ref, db_ref, dtab_ref,
@@ -2193,7 +2207,7 @@ def _tbl_d1_bwd_kernel(idx_ref, frac_ref, tab_ref, db_ref, dtab_ref,
         fx = frac_ref[g, 1]
         b0 = (b // 8) * 8
         rem = b - b0
-        dw = db_ref[g]                                     # [side, side]
+        dw = db_ref[g].astype(jnp.float32)                 # [side, side]
         t = tab_ref[pl.ds(b0, win), :]
         r1 = pltpu.roll(t, win - rem, axis=0)
         r2 = pltpu.roll(r1, win - 1, axis=0)
@@ -2236,7 +2250,8 @@ def _tbl_interp_call(tablep, shifts, side, divisor, rn, split, interpret):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_TBL_ROWS, side, side), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((r_pad, side, side), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r_pad, side, side),
+                                       _tbl_out_dtype()),
         interpret=interpret,
     )(idx, frac, tablep)
     return out[:r]

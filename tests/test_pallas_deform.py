@@ -561,6 +561,53 @@ def test_cpb_table_kernel_grads_match_jnp_interp(rng, divisor):
                                    np.asarray(b) / scale, atol=3e-5)
 
 
+def test_cpb_table_bf16_out_kernel_and_grads(rng):
+    """cfg.cpb_table_bf16 (TBL_BF16_OUT): the interp arithmetic stays f32
+    in-kernel and only the window STORE quantizes to bf16, so the kernel
+    must equal the jnp reference of the same quantization almost bitwise,
+    and grads (bf16 window cotangents upcast in-kernel, f32 accumulation)
+    must track the full-f32 path within bf16-mantissa noise."""
+    from disentangled_multimodal_learning_tpu.ops.pallas import (
+        deform_attn as pda)
+
+    side, K, BH = 10, 6, 2
+    kv_bound = 1.3
+    gkv = jnp.asarray(rng.uniform(-kv_bound, kv_bound, size=(BH, K, 2)),
+                      jnp.float32)
+    params = _cpb_params(rng)
+
+    def loss(use_kernel):
+        def f(gkv_, *ps):
+            b = pda.cpb_bias_table(gkv_, *ps, side=side, divisor=1,
+                                   kv_bound=kv_bound, use_kernel=use_kernel,
+                                   interpret=use_kernel)
+            return jnp.sum(jnp.sin(3.0 * b.astype(jnp.float32)))
+        return f
+
+    g32 = jax.grad(loss(True), argnums=(0, 1, 2, 3, 4, 5, 6))(gkv, *params)
+    assert pda.TBL_BF16_OUT is False  # module default stays f32
+    try:
+        pda.TBL_BF16_OUT = True
+        ref = pda.cpb_bias_table(gkv, *params, side=side, divisor=1,
+                                 kv_bound=kv_bound, use_kernel=False)
+        kern = pda.cpb_bias_table(gkv, *params, side=side, divisor=1,
+                                  kv_bound=kv_bound, use_kernel=True,
+                                  interpret=True)
+        assert kern.dtype == jnp.bfloat16
+        # same f32 value rounded to bf16 on both paths -> one-ulp agreement
+        np.testing.assert_allclose(np.asarray(kern, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=1e-4, rtol=1e-5)
+        gb = jax.grad(loss(True), argnums=(0, 1, 2, 3, 4, 5, 6))(
+            gkv, *params)
+    finally:
+        pda.TBL_BF16_OUT = False
+    for a, b in zip(gb, g32):
+        scale = max(float(jnp.abs(b).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=2e-2)
+
+
 def test_cpb_table_lane_split_kernel_and_grads(rng):
     """The divisor-1 lane-split layout (rn > 128: table stored as two
     stacked 128-lane copies, per-row copy selection in _tbl_idx): kernel
