@@ -662,12 +662,22 @@ class DeformCrossAttention1D(nn.Module):
                   table_side=N, table_kv_bound=tbl_bound,
                   name="rel_pos_bias")
         if layout == "kn":
-            sim = ein("bhjd,bhid->bhji", kh, qh)  # [B,H,K,N]
+            # sdt: the materialized-stream dtype (see the 2-D module).  The
+            # 1-D mode's floor is set by its [B,H,K,N] streams (K ~= N/4,
+            # 4.3x the 2-D K=144 — PERF.md "1-D table CPB"); bf16 halves
+            # that traffic.  Softmax still upcasts and reduces in f32.
+            sdt = jnp.bfloat16 if ATTN_BF16_STREAMS else jnp.float32
+            sim = jnp.einsum("bhjd,bhid->bhji", kh.astype(cdt),
+                             qh.astype(cdt),
+                             preferred_element_type=sdt)  # [B,H,K,N]
             sim = sim + cpb(seq_scaled, vgrid_scaled[..., None],
-                            transposed=True)
-            attn = jax.nn.softmax(_presoftmax(sim, -2), axis=-2)
+                            transposed=True).astype(sdt)
+            attn = jax.nn.softmax(
+                _presoftmax(sim.astype(jnp.float32), -2), axis=-2).astype(sdt)
             attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
-            out = ein("bhji,bhjd->bhid", attn, vh)
+            out = jnp.einsum("bhji,bhjd->bhid", attn.astype(cdt),
+                             vh.astype(cdt),
+                             preferred_element_type=jnp.float32)
         else:
             sim = ein("bhid,bhjd->bhij", qh, kh)
             sim = sim + cpb(seq_scaled, vgrid_scaled[..., None])

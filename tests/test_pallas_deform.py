@@ -347,6 +347,55 @@ def test_attn_bf16_streams_matches_f32(rng):
                                    err_msg=str(n1))
 
 
+def test_attn1d_bf16_streams_matches_f32(rng):
+    """cfg.attn_bf16_streams on the 1-D module (kn layout): same numerics
+    contract as the 2-D test above — out within ~1e-2 relative, all grads
+    finite and within a few percent after zero-gradient-leaf flooring.
+    The 1-D mode's [B,H,K,N] streams (K ~= N/4) set its ~20 ms floor
+    (PERF.md), so this is the lever that matters there."""
+    from disentangled_multimodal_learning_tpu.models import (
+        deform_attention as dam)
+
+    x1 = jnp.asarray(rng.normal(size=(2, 64, 128)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(2, 64, 128)).astype(np.float32))
+    m = dam.DeformCrossAttention1D(dim=128, dropout=0.0, attn_layout="kn")
+    v = m.init({"params": jax.random.PRNGKey(0)}, x1, x2, deterministic=True)
+
+    def run():
+        out = m.apply(v, x1, x2, deterministic=True)
+
+        def f(p):
+            o = m.apply({"params": p}, x1, x2, deterministic=True)
+            return jnp.sum(o ** 2)
+
+        return out, jax.grad(f)(v["params"])
+
+    assert dam.ATTN_BF16_STREAMS is False  # module default stays exact
+    o1, g1 = run()
+    try:
+        dam.ATTN_BF16_STREAMS = True
+        o2, g2 = run()
+    finally:
+        dam.ATTN_BF16_STREAMS = False
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2, np.float32),
+                               atol=2e-2, rtol=2e-2)
+    for (n1, l1), (n2, l2) in zip(
+            jax.tree_util.tree_leaves_with_path(g1),
+            jax.tree_util.tree_leaves_with_path(g2)):
+        arr1, arr2 = np.asarray(l1, np.float32), np.asarray(l2, np.float32)
+        assert np.isfinite(arr2).all(), n2
+        if np.abs(arr1).max() < 1e-4:
+            # analytically-zero leaf (mlp_out_bias: a uniform pre-softmax
+            # shift the softmax Jacobian annihilates; f32 gives ~1e-5).
+            # bf16 cancellation noise is O(5e-2) ABSOLUTE here and benign —
+            # the true gradient is zero in that direction.
+            assert np.abs(arr2).max() < 0.2, n2
+            continue
+        scale = max(np.abs(arr1).max(), 1.0)
+        np.testing.assert_allclose(arr1 / scale, arr2 / scale, atol=3e-2,
+                                   err_msg=str(n1))
+
+
 def test_attn_kv_axis_helper():
     from disentangled_multimodal_learning_tpu.models.deform_attention import (
         attn_kv_axis)
