@@ -28,13 +28,19 @@ lane-wise pass runs on pad.  Optimization history at B=4
 layout) -> 151 (transposed "kn" layout + self-contained v7 exact kernel) ->
 195 (v9 table interpolation) -> 218 (divisor-1 specialized kernels) -> 255
 (scatter-frame shift cotangents in the table backward) -> 281
-(lane-split two-copy table layout) -> ~284 bags/s (redundant pre-softmax
-max shift removed; bit-identical, +1.1%).  Exact CPB (cpb_table_divisor=0) stays
-at ~146-151.  Negative results are kept golden-tested in
-ops/pallas/deform_attn.py with notes on why their layouts lose (flat v2,
-wide4 block-diag, self-contained v5 with 1-sublane blocks; bf16 streams,
-bf16 MXU operands, the v8 fully-fused attention and stacked CPB launches
-all measured slower — the CPB kernel is VPU/MXU-bound, not bandwidth-bound).
+(lane-split two-copy table layout) -> ~284 (redundant pre-softmax max
+shift removed; bit-identical, +1.1%) -> ~329 (bf16 materialized attention
+streams, r5 — the d1-table step is BANDWIDTH-bound on the [B,H,K,N]
+sim/attn streams, unlike the compute-bound exact-CPB era whose bf16
+attempts all lost) -> ~394 bags/s (r5: the measurement itself moved from
+ITERS individual dispatches to one device-side lax.scan chain, shedding
+~0.9 ms/step of tunnel dispatch overhead — see PERF.md's headline note).
+Exact CPB (cpb_table_divisor=0) stays at ~146-151 under the old method.
+Negative results are kept golden-tested in ops/pallas/deform_attn.py with
+notes on why their layouts lose (flat v2, wide4 block-diag, self-contained
+v5 with 1-sublane blocks; bf16 MXU operands, bf16 interp window stores,
+the v8/v10 fused attentions and stacked CPB launches all measured slower —
+the CPB kernel is VPU/MXU-bound, not bandwidth-bound).
 
 Traffic fields: ``bytes_accessed_all_spaces`` comes from XLA's compiled
 cost analysis, which counts ALL memory spaces (HBM + VMEM + SMEM), not HBM
@@ -46,6 +52,7 @@ named what it is and NOT compared against an HBM peak.
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -55,8 +62,7 @@ REF_A100_BAGS_PER_SEC = 25.0  # ESTIMATE, not measured — see module docstring
 
 BATCH = 4  # the reference teacher's batch size (config_mine_diag2021.yaml:51)
 FIXDIM = 2500
-WARMUP = 3
-ITERS = 50  # chained asynchronously; one host readback at the end
+ITERS = 50  # device-side lax.scan chain; one dispatch+readback per rep
 # Measured batch sweep on the v7-kernel + kn-layout production path
 # (tools/exp_bsweep.py, interleaved min-of-4, 2026-08): B=1: 81, B=2: 141,
 # B=4: 145, B=8: 134 (remat on OR off — it fits without remat and times
@@ -68,8 +74,14 @@ ITERS = 50  # chained asynchronously; one host readback at the end
 
 
 def main():
+    import os
+
     import jax
 
+    if os.environ.get("DMLT_PLATFORM") == "cpu":
+        # the axon plugin force-rewrites jax_platforms at import; only a
+        # post-import config.update sticks (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_prng_impl", "rbg")  # faster dropout masks
 
     from disentangled_multimodal_learning_tpu.config import Config
@@ -118,17 +130,33 @@ def main():
 
     # Timing on the tunneled `axon` backend: block_until_ready does NOT fence
     # remote execution; only a host readback does, and each readback costs a
-    # ~28 ms HTTP roundtrip.  So: enqueue ITERS dependent steps (state-carry
-    # forces device-sequential execution), fence ONCE via a scalar readback,
-    # and subtract the measured empty-roundtrip latency.
+    # ~28 ms HTTP roundtrip.  So: run ITERS steps inside ONE device-side
+    # lax.scan (one dispatch + one readback per measurement — immune to the
+    # tunnel's per-dispatch overhead and to dispatch-path degradation, which
+    # under-reported heavy steps by 10-40% in the r4-era
+    # individually-dispatched loop), fence via a scalar readback, and
+    # subtract the measured empty-roundtrip latency.  arrays enters as a jit
+    # ARGUMENT — closure-captured large arrays break remote compile
+    # (HTTP 413, CLAUDE.md).
+    raw_step = make_train_step(model, cfg, tx)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi(state, rng, arrays):
+        def body(carry, _):
+            st, key = carry
+            key, k2 = jax.random.split(key)
+            st, m = raw_step(st, arrays, k2, None)
+            return (st, key), m["loss"]
+        (state, _), losses = jax.lax.scan(body, (state, rng), None,
+                                          length=ITERS)
+        return state, losses
+
     rng = jax.random.PRNGKey(0)
 
     def fence(s):
         return float(jax.tree_util.tree_leaves(s.params)[0].sum())
 
-    for _ in range(WARMUP):
-        rng, k = jax.random.split(rng)
-        state, m = step(state, arrays, k, None)
+    state, _ = multi(state, rng, arrays)  # compile + warmup
     fence(state)
 
     t0 = time.perf_counter()
@@ -136,14 +164,12 @@ def main():
     roundtrip = time.perf_counter() - t0
 
     # tunnel throughput drifts +-5-10% over minutes (PERF.md): take the best
-    # of 3 chained-measurement repetitions so the recorded number reflects
+    # of 4 chained-measurement repetitions so the recorded number reflects
     # the chip, not transient tunnel state
     best_dt = None
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.perf_counter()
-        for _ in range(ITERS):
-            rng, k = jax.random.split(rng)
-            state, m = step(state, arrays, k, None)
+        state, _ = multi(state, rng, arrays)
         fence(state)
         dt = max(time.perf_counter() - t0 - roundtrip, 1e-6)
         best_dt = dt if best_dt is None else min(best_dt, dt)

@@ -48,28 +48,42 @@ def bench(mode, B=4, fixdim=2500):
     # jitted output (need_attention=False) so XLA never materializes them
     step = jax.jit(make_eval_step(model, cfg, need_attention=False))
 
-    # chain dependent evals: perturb the input by a scalar derived from the
-    # previous output so the device must execute sequentially
-    def probe(out):
-        leaves = jax.tree_util.tree_leaves(out)
-        return jnp.sum(leaves[0]) * 0.0
+    # r5: ITERS dependent evals inside ONE device-side lax.scan (one
+    # dispatch + one readback per rep — immune to per-dispatch tunnel
+    # overhead/degradation, same rationale as tools/bench_modes.py).  Eval
+    # has no state carry, so each iteration perturbs x_path10 — consumed by
+    # EVERY mode — by probe*1e-30 (value-preserving in f32, but a real data
+    # dependence XLA can neither hoist nor reorder across iterations).
+    # arrays enters as a jit argument (closure-captured large arrays break
+    # remote compile, CLAUDE.md).
+    @jax.jit
+    def multi(params, batch_stats, arrays):
+        def body(carry, _):
+            arr = dict(arrays)
+            arr["x_path10"] = arrays["x_path10"] + carry * 1e-30
+            out = step(params, batch_stats, arr)
+            # the carry must consume EVERY output leaf: the old per-dispatch
+            # method materialized all outputs at the jit boundary, but
+            # inside one scan any branch not feeding the carry is DCE'd
+            # (first seen as multiscale-eval 2010 bags/s — one scale's
+            # whole branch dead)
+            leaves = jax.tree_util.tree_leaves(out)
+            tot = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
+            return tot, jnp.float32(0.0)
 
-    out = step(state.params, state.batch_stats, arrays)
-    float(probe(out) + 1.0)  # compile + fence
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
+        return carry
+
+    ready = multi(state.params, state.batch_stats, arrays)  # compile+warmup
+    float(ready)
     t0 = time.perf_counter()
-    float(probe(out) + 1.0)
+    float(ready)  # readback of an already-computed scalar = empty roundtrip
     rt = time.perf_counter() - t0
 
     best = None
     for _ in range(REPS):
         t0 = time.perf_counter()
-        carry = jnp.float32(0.0)
-        for _ in range(ITERS):
-            arr = dict(arrays)
-            arr["x_omic"] = arrays["x_omic"] + carry
-            out = step(state.params, state.batch_stats, arr)
-            carry = probe(out)
-        float(carry)
+        float(multi(state.params, state.batch_stats, arrays))
         dt = max(time.perf_counter() - t0 - rt, 1e-9)
         best = dt if best is None else min(best, dt)
     bags = B * ITERS / best

@@ -9,6 +9,7 @@ models use the same chained-dispatch + single-readback method as bench.py.
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 import time
@@ -97,20 +98,49 @@ def bench(mode, task, B=4, fixdim=2500):
 
     rng = jax.random.PRNGKey(0)
     if mode in HEAVY:
-        step = jax.jit(step_fn, donate_argnums=(0,))
-        for _ in range(3):
-            rng, k = jax.random.split(rng)
-            state, _ = step(state, arrays, k, tvars)
+        # device-side scan chain (r5): one dispatch + one readback per rep,
+        # so the number reflects the CHIP even when the tunnel's dispatch
+        # path degrades (the r4-era 30-individual-dispatch loop relied on
+        # dispatch pipelining and under-reported heavy modes 2-5x in
+        # degraded tunnel phases).  arrays/tvars enter as jit ARGUMENTS —
+        # closure-captured large arrays break remote compile (CLAUDE.md).
+        # Cold distillation ONLY: the frozen-teacher forward depends on
+        # (tvars, arrays) alone, so with loop-invariant arrays XLA hoists
+        # the ENTIRE teacher forward out of the scan (measured: 744 bags/s,
+        # i.e. faster than the student-only step — impossible).  Real
+        # training streams a new batch every step; thread a loss-derived
+        # probe (v + loss*1e-30 == v in f32) through the float arrays to
+        # force per-iteration dependence.  Other modes carry their state
+        # through every major computation already — no probe, no extra
+        # bandwidth.
+        probe_arrays = tvars is not None
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def multi_heavy(state, rng, arrays, tvars):
+            def body(carry, _):
+                st, key, arrs = carry
+                key, k2 = jax.random.split(key)
+                st, m = step_fn(st, arrs, k2, tvars)
+                if probe_arrays:
+                    p = m["loss"].astype(jnp.float32) * 1e-30
+                    arrs = jax.tree_util.tree_map(
+                        lambda v: v + p.astype(v.dtype)
+                        if jnp.issubdtype(v.dtype, jnp.floating) else v,
+                        arrs)
+                return (st, key, arrs), m["loss"]
+            (state, _, _), losses = jax.lax.scan(
+                body, (state, rng, arrays), None, length=SCAN)
+            return state, losses
+
+        state, _ = multi_heavy(state, rng, arrays, tvars)
         fence(state)
         t0 = time.perf_counter()
         fence(state)
         rt = time.perf_counter() - t0
         best = None
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
-            for _ in range(SCAN):
-                rng, k = jax.random.split(rng)
-                state, _ = step(state, arrays, k, tvars)
+            state, _ = multi_heavy(state, rng, arrays, tvars)
             fence(state)
             dt = max(time.perf_counter() - t0 - rt, 1e-9)
             best = dt if best is None else min(best, dt)

@@ -80,6 +80,7 @@ def main():
     from disentangled_multimodal_learning_tpu.models import deform_attention as DA
 
     DA.CPB_TABLE_DIVISOR = 1
+    DA.ATTN_BF16_STREAMS = True  # r5 production operating point
     x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
     noise = jnp.asarray(rng.uniform(size=(B, N)), jnp.float32)
     dist0 = CL.pairwise_dist(x, x) / (C ** 0.5)
@@ -123,9 +124,31 @@ def main():
     def f_enc_fb(a):
         return jax.grad(lambda z: f_enc(z))(a)
 
+    # r5 finer rows: the attention pair alone (encoder minus DPC/merge),
+    # and the 1000x PathBatchLoss on the [B,8,N,144] maps the step feeds it
+    attn_mod = TS._deform2d("attn2d", C)
+    av = attn_mod.init(jax.random.PRNGKey(0), x, x, deterministic=True)
+
+    def f_attn(a):
+        o, at = attn_mod.apply(av, a, a, deterministic=True)
+        return o.sum() + at.sum()
+
+    def f_attn_fb(a):
+        return jax.grad(lambda z: f_attn(z))(a)
+
+    from disentangled_multimodal_learning_tpu.train import losses as L
+    att10 = jnp.asarray(rng.standard_normal((B, 8, N, 144)), jnp.bfloat16)
+    att20 = jnp.asarray(rng.standard_normal((B, 8, N, 144)), jnp.bfloat16)
+
+    def f_pbl_fb(a10, a20):
+        return jax.grad(
+            lambda z: 1000.0 * L.path_batch_loss(z, a20).astype(jnp.float32)
+        )(a10)
+
     # full production student train step
     cfg = Config(mode="student", task_type="diag2021", label_dim=4,
                  fixdim=N, batch_size=B, cpb_table_divisor=1,
+                 attn_bf16_streams=True,
                  checkpoints="#", debug=True).validate()
     ds = SyntheticBagDataset(size=B, fixdim=N, label_dim=4, seed=0, args=cfg)
     batch = next(iter(BagLoader(ds, B, shuffle=False)))
@@ -134,15 +157,26 @@ def main():
     tx = make_optimizer(cfg, 100)
     state = init_model_state(model, cfg, batch, tx)
     raw_step = make_train_step(model, cfg, tx)
-    step = jax.jit(raw_step, donate_argnums=(0,))
+
+    # r5: device-side scan chain, same method as tools/bench_modes.py —
+    # one dispatch + one readback per rep (immune to tunnel dispatch
+    # overhead/degradation); arrays as jit args (remote-compile 413)
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi_step(state, rng, arrays):
+        def body(carry, _):
+            st, key = carry
+            key, k2 = jax.random.split(key)
+            st, m = raw_step(st, arrays, k2, None)
+            return (st, key), m["loss"]
+        (state, _), losses = jax.lax.scan(body, (state, rng), None,
+                                          length=ITERS)
+        return state, losses
 
     def fence(s):
         return float(jax.tree_util.tree_leaves(s.params)[0].sum())
 
     kr = jax.random.PRNGKey(0)
-    for _ in range(3):
-        kr, kk = jax.random.split(kr)
-        state, _ = step(state, arrays, kk, None)
+    state, _ = multi_step(state, kr, arrays)
     fence(state)
     t0 = time.perf_counter()
     fence(state)
@@ -156,6 +190,9 @@ def main():
         ("merge_fwdbwd", f_merge_fb, (x, noise)),
         ("enc_fwd     ", f_enc, (x,)),
         ("enc_fwdbwd  ", f_enc_fb, (x,)),
+        ("attn_fwd    ", f_attn, (x,)),
+        ("attn_fwdbwd ", f_attn_fb, (x,)),
+        ("pbl_fwdbwd  ", f_pbl_fb, (att10, att20)),
     ]
     best = {name: float("inf") for name, _, _ in rows_fns}
     best_step = None
@@ -163,12 +200,8 @@ def main():
         for name, fn, args in rows_fns:
             best[name] = min(best[name], _timed(fn, *args))
         t0 = time.perf_counter()
-        st, r = state, kr
-        for _ in range(ITERS):
-            r, kk = jax.random.split(r)
-            st, _ = step(st, arrays, kk, None)
-        fence(st)
-        state, kr = st, r
+        state, _ = multi_step(state, kr, arrays)
+        fence(state)
         dt = (time.perf_counter() - t0 - roundtrip) / ITERS * 1e3
         best_step = dt if best_step is None else min(best_step, dt)
         print(f"rep {rep} done (step {dt:.2f} ms)", flush=True)
