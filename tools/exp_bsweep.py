@@ -38,6 +38,7 @@ def build(B, fixdim, remat):
     cfg = Config(mode="teacher", task_type="diag2021", label_dim=4,
                  fixdim=fixdim, batch_size=B, gradient_modulate=True,
                  multiscale_attention=True, remat=remat, checkpoints="#",
+                 cpb_table_divisor=1, attn_bf16_streams=True,  # r5 prod point
                  debug=True).validate()
     ds = SyntheticBagDataset(size=B, fixdim=fixdim, label_dim=4, seed=0,
                              args=cfg)
@@ -46,8 +47,8 @@ def build(B, fixdim, remat):
     model = define_net(cfg)
     tx = make_optimizer(cfg, 100)
     state = init_model_state(model, cfg, batch, tx)
-    step = jax.jit(make_train_step(model, cfg, tx), donate_argnums=(0,))
-    return state, arrays, step
+    raw_step = make_train_step(model, cfg, tx)
+    return state, arrays, raw_step
 
 
 def main():
@@ -65,17 +66,32 @@ def main():
     def fence(s):
         return float(jax.tree_util.tree_leaves(s.params)[0].sum())
 
+    import functools
+
     setups = {}
     for B in [int(b) for b in args.batches.split(",")]:
         remat = B > 4  # remat=False fits at B<=4 (bench.py)
         try:
-            state, arrays, step = build(B, args.fixdim, remat)
+            state, arrays, raw_step = build(B, args.fixdim, remat)
+
+            # r5: device-side scan chain (one dispatch + one readback per
+            # rep), same method as bench.py/bench_modes — see PERF.md's
+            # headline measurement note
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def multi(state, rng, arrays, raw_step=raw_step):
+                def body(carry, _):
+                    st, key = carry
+                    key, k2 = jax.random.split(key)
+                    st, m = raw_step(st, arrays, k2, None)
+                    return (st, key), m["loss"]
+                (state, _), losses = jax.lax.scan(
+                    body, (state, rng), None, length=args.iters)
+                return state, losses
+
             rng = jax.random.PRNGKey(0)
-            for _ in range(3):  # warmup/compile
-                rng, k = jax.random.split(rng)
-                state, _ = step(state, arrays, k, None)
+            state, _ = multi(state, rng, arrays)  # compile + warmup
             fence(state)
-            setups[B] = {"state": state, "arrays": arrays, "step": step,
+            setups[B] = {"state": state, "arrays": arrays, "step": multi,
                          "rng": rng, "remat": remat, "best": None}
             print(f"[bsweep] B={B} compiled (remat={remat})", flush=True)
         except Exception as e:  # OOM at large B without remat etc.
@@ -92,12 +108,10 @@ def main():
         for B, su in setups.items():  # interleaved: one rep per B per pass
             state, rng = su["state"], su["rng"]
             t0 = time.perf_counter()
-            for _ in range(args.iters):
-                rng, k = jax.random.split(rng)
-                state, _ = su["step"](state, su["arrays"], k, None)
+            state, _ = su["step"](state, rng, su["arrays"])
             fence(state)
             dt = max(time.perf_counter() - t0 - roundtrip, 1e-6)
-            su["state"], su["rng"] = state, rng
+            su["state"] = state
             su["best"] = dt if su["best"] is None else min(su["best"], dt)
             print(f"[bsweep] rep {rep} B={B}: "
                   f"{B * args.iters / dt:.1f} bags/s", flush=True)
