@@ -131,6 +131,7 @@ def main():
         return jax.grad(attn_given_bias, argnums=3)(q, k, v, bias, False)
 
     DA.CPB_TABLE_DIVISOR = 1
+    DA.ATTN_BF16_STREAMS = True  # r5 production operating point
     mod = DA.DeformCrossAttention2D(dim=128, dropout=0.0)
     mvars = mod.init({"params": jax.random.PRNGKey(0)}, x1, x2,
                      deterministic=True)
