@@ -26,7 +26,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def build(modulate, msattn):
+def build(modulate, msattn, mode="teacher"):
     import jax
 
     from disentangled_multimodal_learning_tpu.config import Config
@@ -39,7 +39,7 @@ def build(modulate, msattn):
     from disentangled_multimodal_learning_tpu.train.trainers import (
         init_model_state)
 
-    cfg = Config(mode="teacher", task_type="diag2021", label_dim=4,
+    cfg = Config(mode=mode, task_type="diag2021", label_dim=4,
                  fixdim=2500, batch_size=4, gradient_modulate=modulate,
                  multiscale_attention=msattn, remat=False, checkpoints="#",
                  cpb_table_divisor=1, attn_bf16_streams=True,
@@ -58,6 +58,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--mode", default="teacher",
+                    choices=("teacher", "student"))
     args = ap.parse_args()
 
     import jax
@@ -69,27 +71,39 @@ def main():
         return float(jax.tree_util.tree_leaves(s.params)[0].sum())
 
     from disentangled_multimodal_learning_tpu.train import losses as L
-    _orig_odsl = L.omic_domain_scale_loss
+    _orig = {k: getattr(L, k) for k in
+             ("omic_domain_scale_loss", "path_batch_loss",
+              "path_batch_loss_stacked")}
+
+    def _patch(wrap):
+        for k, fn in _orig.items():
+            setattr(L, k, (lambda f: lambda *a: f(*wrap(a)))(fn))
+
+    def _restore():
+        for k, fn in _orig.items():
+            setattr(L, k, fn)
+
+    variants = [("full", True, True), ("no_modulate", False, True),
+                ("no_msattn", True, False), ("msattn_sg", True, True),
+                ("msattn_barrier", True, True)]
+    if args.mode == "student":  # no modulation branch; barrier known negative
+        variants = [("full", True, True), ("no_msattn", True, False),
+                    ("msattn_sg", True, True)]
 
     setups = {}
-    for name, modulate, msattn in (("full", True, True),
-                                   ("no_modulate", False, True),
-                                   ("no_msattn", True, False),
-                                   ("msattn_sg", True, True),
-                                   ("msattn_barrier", True, True)):
+    for name, modulate, msattn in variants:
         if name == "msattn_sg":
             # Gram loss VALUE computed, but its backward path severed:
-            # isolates the bwd share of the ~1 ms msattn delta
-            L.omic_domain_scale_loss = lambda *maps: _orig_odsl(
-                *[jax.lax.stop_gradient(m) for m in maps])
+            # isolates the bwd share of the msattn delta
+            _patch(lambda a: [jax.lax.stop_gradient(m) for m in a])
         elif name == "msattn_barrier":
             # isolated Gram fwd+bwd is ~roofline (anatomy gram4 row), so
             # the e2e delta is fusion interaction: test whether an
             # optimization barrier on the Gram's inputs decouples XLA's
             # attention-pipeline fusion decisions from the extra consumer
-            L.omic_domain_scale_loss = lambda *maps: _orig_odsl(
-                *jax.lax.optimization_barrier(tuple(maps)))
-        state, arrays, raw_step, cfg, model = build(modulate, msattn)
+            _patch(lambda a: jax.lax.optimization_barrier(tuple(a)))
+        state, arrays, raw_step, cfg, model = build(modulate, msattn,
+                                                    args.mode)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def multi(state, rng, arrays, raw_step=raw_step):
@@ -105,7 +119,7 @@ def main():
         rng = jax.random.PRNGKey(0)
         state, _ = multi(state, rng, arrays)  # traces under the active patch
         fence(state)
-        L.omic_domain_scale_loss = _orig_odsl
+        _restore()
         setups[name] = {"state": state, "arrays": arrays, "multi": multi,
                         "rng": rng, "best": None}
         print(f"[residual] {name} compiled", flush=True)
@@ -136,11 +150,16 @@ def main():
         def body(carry, _):
             arr = dict(arrays)
             arr["x_path10"] = arrays["x_path10"] + carry * 1e-30
-            out = full_model.apply(
-                {"params": params}, x_path10=arr["x_path10"],
-                x_path20=arr["x_path20"],
-                x_omic_tumor=arr["x_omic_tumor"],
-                x_omic_immune=arr["x_omic_immune"], deterministic=True)
+            if args.mode == "teacher":
+                out = full_model.apply(
+                    {"params": params}, x_path10=arr["x_path10"],
+                    x_path20=arr["x_path20"],
+                    x_omic_tumor=arr["x_omic_tumor"],
+                    x_omic_immune=arr["x_omic_immune"], deterministic=True)
+            else:  # student (deterministic: no dropout/DPC-noise rngs)
+                out = full_model.apply(
+                    {"params": params}, x_path10=arr["x_path10"],
+                    x_path20=arr["x_path20"], deterministic=True)
             leaves = jax.tree_util.tree_leaves(out)
             tot = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
             return tot, jnp.float32(0.0)
